@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX-native "fake backend": forcing 8 CPU devices gives every
+multi-chip sharding test a real mesh without TPU hardware (SURVEY.md §4).
+
+Note: the session environment pins ``JAX_PLATFORMS=axon`` (a tunneled TPU)
+and a sitecustomize hook initializes JAX at interpreter startup, so plain
+env vars are too late here — we must override through ``jax.config``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("AERO_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_num_cpu_devices", 8)
