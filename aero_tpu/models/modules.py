@@ -1,0 +1,504 @@
+"""Flax building blocks for the AERO generator family.
+
+Re-designs the reference blocks (``/root/reference/src/models/modules.py``)
+TPU-first: channels-last layouts everywhere (time-domain ``[B, T, C]``,
+spectral ``[B, F, T, C]``), LSTMs as ``lax.scan`` with the reference's
+200-step overlap chunking (which turns the sequential scan into short
+fixed-length scans over a larger batch — ideal for XLA), attention and
+convolutions expressed as einsums/convs that XLA tiles onto the MXU.
+
+Block-by-block parity targets (reference citations):
+- BLSTM:          src/models/modules.py:17-65
+- LocalState:     src/models/modules.py:68-127
+- LayerScale:     src/models/modules.py:130-141
+- DConv:          src/models/modules.py:144-249
+- ScaledEmbedding:src/models/modules.py:252-276
+- FTB:            src/models/modules.py:279-325
+- Snake:          src/models/snake.py:7-67
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aero_tpu.models import init as tinit
+
+
+def gelu(x):
+    """torch.nn.functional.gelu default == exact erf formulation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def glu(x, axis=-1):
+    """torch F.glu: first half gated by sigmoid of second half."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def leaky_relu(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def unfold_time(x, width: int, stride: int):
+    """[B, T, C] -> [B, n_frames, width, C] with zero padding so that
+    n_frames = ceil(T / stride) (reference unfold, src/utils.py:50-63)."""
+    b, t, c = x.shape
+    n_frames = math.ceil(t / stride)
+    tgt = (n_frames - 1) * stride + width
+    x = jnp.pad(x, ((0, 0), (0, tgt - t), (0, 0)))
+    frames = [x[:, k * stride:k * stride + width] for k in range(n_frames)]
+    return jnp.stack(frames, axis=1)
+
+
+class Conv1d(nn.Module):
+    """torch-initialized 1-D conv on [B, T, C]."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
+        return nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=tinit.conv_kernel_init,
+            bias_init=tinit.conv_bias_init_for(kshape),
+            name="conv",
+        )(x)
+
+
+class Conv2d(nn.Module):
+    """torch-initialized 2-D conv on [B, H, W, C] (here H=freq, W=time)."""
+
+    features: int
+    kernel_size: tp.Tuple[int, int] = (1, 1)
+    stride: tp.Tuple[int, int] = (1, 1)
+    padding: tp.Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            use_bias=self.use_bias,
+            kernel_init=tinit.conv_kernel_init,
+            bias_init=tinit.conv_bias_init_for(kshape),
+            name="conv",
+        )(x)
+
+
+def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
+    """torch-semantics transposed conv along one spatial axis of
+    channels-last input, via input dilation + flipped kernel.
+
+    ``x``: [..., L, C_in] with the target axis moved to -2.
+    ``kernel``: [k, in, out] (flax layout). Output length (L-1)*s + k - 2p.
+    """
+    k = kernel.shape[0]
+    lead = x.shape[:-2]
+    x2 = x.reshape(-1, x.shape[-2], x.shape[-1])
+    out = jax.lax.conv_general_dilated(
+        x2,
+        jnp.flip(kernel, 0),
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out.reshape(*lead, out.shape[-2], out.shape[-1])
+
+
+class ConvTranspose1d(nn.Module):
+    """torch-initialized transposed 1-D conv on [B, T, C]."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", tinit.conv_transpose_kernel_init, kshape)
+        bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
+                          (self.features,))
+        y = _conv_transpose(x, kernel, self.stride, self.padding, axis=-2)
+        if self.output_padding:
+            y = jnp.pad(y, ((0, 0), (0, self.output_padding), (0, 0)))
+        return y + bias
+
+
+class ConvTranspose2dFreq(nn.Module):
+    """Transposed conv over the frequency axis of [B, F, T, C] with
+    kernel [k, 1] / stride [s, 1] (the only 2-D transpose the model uses,
+    src/models/aero.py:172)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", tinit.conv_transpose_kernel_init, kshape)
+        bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
+                          (self.features,))
+        # [B, F, T, C] -> [B, T, F, C] so freq is the conv axis.
+        xt = jnp.swapaxes(x, 1, 2)
+        y = _conv_transpose(xt, kernel, self.stride, 0, axis=-2)
+        y = jnp.swapaxes(y, 1, 2)
+        return y + bias
+
+
+class ConvTranspose2dTime(nn.Module):
+    """Transposed conv over the time axis of [B, F, T, C] (kernel [1, k])."""
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", tinit.conv_transpose_kernel_init, kshape)
+        bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
+                          (self.features,))
+        y = _conv_transpose(x, kernel, self.stride, 0, axis=-2)
+        return y + bias
+
+
+class GroupNorm(nn.Module):
+    """torch GroupNorm(groups, C) on channels-last input."""
+
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm (momentum 0.1 -> flax momentum 0.9) on channels-last."""
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name="bn")(x)
+
+
+class Snake(nn.Module):
+    """x + (1/a) sin^2(a x), trainable per-frequency ``a`` initialized from
+    Exponential(rate=0.1) (src/models/snake.py:53-54). ``a`` is broadcast
+    against the trailing dims of ``x`` after aligning to ``axis``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, axis: int):
+        def exp_init(key, shape, dtype=jnp.float32):
+            return jax.random.exponential(key, shape, dtype) * 10.0  # rate 0.1
+
+        a = self.param("a", exp_init, (self.features,))
+        shape = [1] * x.ndim
+        shape[axis] = self.features
+        a = a.reshape(shape)
+        return x + (1.0 / a) * jnp.sin(x * a) ** 2
+
+
+class LSTM(nn.Module):
+    """Multi-layer bidirectional LSTM, torch-compatible gates/init.
+
+    Input/output: [B, T, C]; output feature size = 2 * hidden.
+    The time recursion is a ``lax.scan`` whose per-step work is one
+    [B, H] x [H, 4H] matmul; the input projection for all steps is a
+    single batched matmul done up front.
+    """
+
+    hidden: int
+    layers: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        init = tinit.lstm_init_for(self.hidden)
+        for layer in range(self.layers):
+            in_dim = x.shape[-1]
+            outs = []
+            for direction in range(2):
+                pref = f"l{layer}_d{direction}"
+                w_ih = self.param(f"{pref}_w_ih", init, (in_dim, 4 * self.hidden))
+                w_hh = self.param(f"{pref}_w_hh", init, (self.hidden, 4 * self.hidden))
+                b_ih = self.param(f"{pref}_b_ih", init, (4 * self.hidden,))
+                b_hh = self.param(f"{pref}_b_hh", init, (4 * self.hidden,))
+                xd = x if direction == 0 else jnp.flip(x, 1)
+                xp = xd @ w_ih + (b_ih + b_hh)  # [B, T, 4H] one big matmul
+
+                def step(carry, xt, w_hh=w_hh):
+                    h, c = carry
+                    gates = xt + h @ w_hh
+                    i, f, g, o = jnp.split(gates, 4, -1)
+                    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                    return (h, c), h
+
+                b = x.shape[0]
+                h0 = jnp.zeros((b, self.hidden), x.dtype)
+                _, ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xp, 0, 1))
+                ys = jnp.swapaxes(ys, 0, 1)
+                outs.append(ys if direction == 0 else jnp.flip(ys, 1))
+            x = jnp.concatenate(outs, -1)
+        return x
+
+
+class BLSTM(nn.Module):
+    """BiLSTM with hidden == input dim and optional overlapped chunking
+    (src/models/modules.py:17-65). Input/output [B, T, C]."""
+
+    dim: int
+    layers: int = 1
+    max_steps: tp.Optional[int] = None
+    skip: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        y = x
+        framed = False
+        if self.max_steps is not None and t > self.max_steps:
+            width = self.max_steps
+            stride = width // 2
+            frames = unfold_time(x, width, stride)  # [B, F, width, C]
+            n_frames = frames.shape[1]
+            framed = True
+            x = frames.reshape(b * n_frames, width, c)
+
+        x = LSTM(self.dim, self.layers, name="lstm")(x)
+        x = nn.Dense(
+            self.dim,
+            kernel_init=tinit.linear_kernel_init,
+            bias_init=tinit.linear_bias_init_for(2 * self.dim),
+            name="linear",
+        )(x)
+
+        if framed:
+            frames = x.reshape(b, n_frames, width, c)
+            limit = stride // 2
+            out = [frames[:, 0, :-limit]]
+            for k in range(1, n_frames - 1):
+                out.append(frames[:, k, limit:-limit])
+            if n_frames > 1:
+                out.append(frames[:, n_frames - 1, limit:])
+            x = jnp.concatenate(out, axis=1)[:, :t]
+        if self.skip:
+            x = x + y
+        return x
+
+
+class LocalState(nn.Module):
+    """Content-based local attention with learned distance-decay penalties
+    and self-reference masking (src/models/modules.py:68-127).
+
+    Input/output [B, T, C]. O(T^2) einsums — MXU-friendly; a Pallas
+    banded kernel can swap in behind the same interface for long T.
+    """
+
+    channels: int
+    heads: int = 4
+    ndecay: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        heads = self.heads
+        ch = c // heads
+
+        content = Conv1d(c, 1, name="content")(x).reshape(b, t, heads, ch)
+        queries = Conv1d(c, 1, name="query")(x).reshape(b, t, heads, ch)
+        keys = Conv1d(c, 1, name="key")(x).reshape(b, t, heads, ch)
+
+        # dots[b, h, t(key), s(query)]
+        dots = jnp.einsum("bthc,bshc->bhts", keys, queries) / math.sqrt(ch)
+
+        if self.ndecay:
+            decay_q = Conv1d(heads * self.ndecay, 1, name="query_decay")(x)
+            decay_q = jax.nn.sigmoid(decay_q.reshape(b, t, heads, self.ndecay)) / 2
+            idx = jnp.arange(t, dtype=x.dtype)
+            delta = jnp.abs(idx[:, None] - idx[None, :])  # [t, s]
+            decays = jnp.arange(1, self.ndecay + 1, dtype=x.dtype)
+            decay_kernel = -decays[:, None, None] * delta[None] / math.sqrt(self.ndecay)
+            dots = dots + jnp.einsum("fts,bshf->bhts", decay_kernel, decay_q)
+
+        dots = jnp.where(jnp.eye(t, dtype=bool)[None, None], -100.0, dots)
+        weights = jax.nn.softmax(dots, axis=2)  # over keys t
+
+        result = jnp.einsum("bhts,bthc->bshc", weights, content).reshape(b, t, c)
+        return x + Conv1d(c, 1, name="proj")(result)
+
+
+class LayerScale(nn.Module):
+    """Diagonal residual rescale (src/models/modules.py:130-141)."""
+
+    channels: int
+    init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.constant(self.init),
+                           (self.channels,))
+        return scale * x
+
+
+class ScaledEmbedding(nn.Module):
+    """Embedding with boosted LR via ``scale`` and smooth (cumsum) init
+    (src/models/modules.py:252-276)."""
+
+    num_embeddings: int
+    embedding_dim: int
+    scale: float = 10.0
+    smooth: bool = False
+
+    @nn.compact
+    def __call__(self, idx):
+        def emb_init(key, shape, dtype=jnp.float32):
+            w = jax.random.normal(key, shape, dtype)
+            if self.smooth:
+                w = jnp.cumsum(w, axis=0)
+                w = w / jnp.sqrt(jnp.arange(1, shape[0] + 1, dtype=dtype))[:, None]
+            return w / self.scale
+
+        weight = self.param("weight", emb_init,
+                            (self.num_embeddings, self.embedding_dim))
+        return weight[idx] * self.scale
+
+
+class FTB(nn.Module):
+    """Frequency transform block / T-F attention (src/models/modules.py:279-325).
+
+    Input/output [B, F, T, C] with F == ``input_dim``, C == ``in_channel``.
+    """
+
+    input_dim: int
+    in_channel: int
+    r_channel: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        b, f, t, c = x.shape
+        h = Conv2d(self.r_channel, (1, 1), name="conv1")(x)
+        h = BatchNorm(name="conv1_bn")(h, train)
+        h = jax.nn.relu(h)
+
+        # [B, F, T, r] -> [B, T, r*F] (torch reshape [B, C*D, T] keeps
+        # channel-major order: index = c * F + f)
+        h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, self.r_channel * f)
+        h = Conv1d(self.in_channel, 9, padding=4, name="conv1d")(h)
+        h = BatchNorm(name="conv1d_bn")(h, train)
+        h = jax.nn.relu(h)  # [B, T, C]
+
+        att = h[:, None] * x  # broadcast over freq -> [B, F, T, C]
+
+        w = self.param("freq_fc", tinit.linear_kernel_init,
+                       (self.input_dim, self.input_dim))
+        # torch Linear over the freq axis: out[f'] = sum_f att[f] W[f', f]
+        att = jnp.einsum("gf,bftc->bgtc", w.T, att)
+
+        h = jnp.concatenate([att, x], axis=-1)
+        h = Conv2d(self.in_channel, (1, 1), name="conv2")(h)
+        h = BatchNorm(name="conv2_bn")(h, train)
+        return jax.nn.relu(h)
+
+
+class DConv(nn.Module):
+    """Residual branch of dilated convs + optional BLSTM + local attention
+    (src/models/modules.py:144-249).
+
+    With ``reshape=True`` input is [B, F, T, C] and each frequency row is
+    processed independently (batched as B*F); Snake's ``a`` is then
+    per-frequency. Otherwise input is [B, T, C].
+    """
+
+    channels: int
+    compress: float = 4
+    depth: int = 2
+    init: float = 1e-4
+    norm: bool = True
+    time_attn: bool = False
+    heads: int = 4
+    ndecay: int = 4
+    lstm: bool = False
+    act_func: str = "gelu"
+    freq_dim: tp.Optional[int] = None
+    reshape: bool = False
+    kernel: int = 3
+    dilate: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.reshape:
+            b, f, t, c = x.shape
+            x = x.reshape(b * f, t, c)
+
+        hidden = int(self.channels / self.compress)
+        depth = abs(self.depth)
+        dilate = self.depth > 0
+
+        for d in range(depth):
+            dilation = 2 ** d if dilate else 1
+            padding = dilation * (self.kernel // 2)
+            skip = x
+            h = Conv1d(hidden, self.kernel, padding=padding, dilation=dilation,
+                       name=f"layers_{d}_conv1")(x)
+            if self.norm:
+                h = GroupNorm(1, name=f"layers_{d}_norm1")(h)
+
+            if self.act_func == "snake":
+                if self.reshape:
+                    h4 = h.reshape(b, f, t, hidden)
+                    h4 = Snake(self.freq_dim, name=f"layers_{d}_act")(h4, axis=1)
+                    h = h4.reshape(b * f, t, hidden)
+                else:
+                    h = Snake(self.freq_dim, name=f"layers_{d}_act")(h, axis=-1)
+            elif self.act_func == "gelu":
+                h = gelu(h)
+            else:
+                h = jax.nn.relu(h)
+
+            if self.lstm:
+                h = BLSTM(hidden, layers=2, max_steps=200, skip=True,
+                          name=f"layers_{d}_lstm")(h)
+            if self.time_attn:
+                h = LocalState(hidden, heads=self.heads, ndecay=self.ndecay,
+                               name=f"layers_{d}_time_attn")(h)
+
+            h = Conv1d(2 * self.channels, 1, name=f"layers_{d}_conv2")(h)
+            if self.norm:
+                h = GroupNorm(1, name=f"layers_{d}_norm2")(h)
+            h = glu(h, axis=-1)
+            h = LayerScale(self.channels, self.init, name=f"layers_{d}_scale")(h)
+            x = skip + h
+
+        if self.reshape:
+            x = x.reshape(b, f, t, c)
+        return x
