@@ -1,0 +1,69 @@
+"""Adversarial losses: MelGAN hinge + feature matching, HiFi LS-GAN.
+
+Parity targets:
+- MelGAN discriminator/generator losses: /root/reference/src/solver.py:490-520
+- HiFi feature/discriminator/generator losses:
+  /root/reference/src/models/discriminators.py:211-243
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax
+
+
+def melgan_discriminator_loss(disc_fake, disc_real):
+    """Hinge loss over the last (logit) map of each scale
+    (solver.py:490-497). ``disc_*``: list (scales) of feature lists."""
+    loss = 0.0
+    for scale in disc_fake:
+        loss += jnp.mean(jax.nn.relu(1 + scale[-1]))
+    for scale in disc_real:
+        loss += jnp.mean(jax.nn.relu(1 - scale[-1]))
+    return loss
+
+
+def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int):
+    """Returns (adversarial, unweighted feature loss) (solver.py:499-520)."""
+    features_weights = 4.0 / (n_layers + 1)
+    discriminator_weights = 1.0 / num_d
+    weights = discriminator_weights * features_weights
+
+    features_loss = 0.0
+    for i in range(num_d):
+        for j in range(len(disc_fake[i]) - 1):
+            features_loss += weights * jnp.mean(
+                jnp.abs(disc_fake[i][j] - jax.lax.stop_gradient(disc_real[i][j])))
+
+    adversarial_loss = 0.0
+    for scale in disc_fake:
+        adversarial_loss += jnp.mean(jax.nn.relu(1 - scale[-1]))
+    return adversarial_loss, features_loss
+
+
+def hifi_feature_loss(fmap_r, fmap_g):
+    """Mean L1 over all layers of all sub-discriminators, averaged by
+    layer count (discriminators.py:211-219)."""
+    loss = 0.0
+    total = 0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            total += 1
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss / total
+
+
+def hifi_discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    """LS-GAN discriminator loss (discriminators.py:222-233)."""
+    loss = 0.0
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        loss += jnp.mean((1 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def hifi_generator_loss(disc_outputs):
+    """LS-GAN generator loss (discriminators.py:236-243)."""
+    loss = 0.0
+    for dg in disc_outputs:
+        loss += jnp.mean((1 - dg) ** 2)
+    return loss

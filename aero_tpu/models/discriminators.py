@@ -1,0 +1,398 @@
+"""GAN discriminators: MelGAN multi-scale, HiFi-GAN multi-period/multi-scale.
+
+Parity with ``/root/reference/src/models/discriminators.py``:
+- NLayerDiscriminator / Discriminator (MelGAN MSD): :14-78
+- DiscriminatorP / MultiPeriodDiscriminator (HiFi MPD): :89-147
+- DiscriminatorS / MultiScaleDiscriminator (HiFi MSD): :150-208
+
+All weight-normalized convs use torch-default kaiming init with
+``g = ||v||`` (note: the reference's ``weights_init`` N(0, 0.02) is a
+silent no-op on weight-normed convs — the pre-forward hook recomputes
+the weight — so the *effective* reference init is exactly this).
+
+Layouts are channels-last: waveforms [B, T, C]; DiscriminatorP folds
+time into [B, T/p, p, C].
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.models import init as tinit
+from aero_tpu.models.modules import leaky_relu
+
+LRELU_SLOPE = 0.1
+
+
+def _weight_norm(v, g):
+    # torch weight_norm dim=0: per-output-channel norm. flax kernel layout
+    # (*k, in, out): norm over all but the last axis.
+    norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(range(v.ndim - 1)), keepdims=True))
+    return v * (g / jnp.maximum(norm, 1e-12))
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized conv1d on [B, T, C] (src/models/modules.py:10-11)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1] // self.groups
+        kshape = (self.kernel_size, in_ch, self.features)
+
+        def v_init(key, shape, dtype=jnp.float32):
+            return tinit.conv_kernel_init(key, shape, dtype)
+
+        v = self.param("v", v_init, kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1), keepdims=True)).reshape(shape),
+            (self.features,),
+        )
+        bias = self.param("bias", tinit.conv_bias_init_for(kshape),
+                          (self.features,))
+        w = _weight_norm(v, g.reshape(1, 1, -1))
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized transposed conv1d (src/models/modules.py:14-15).
+
+    torch weight layout is [in, out, k] and weight_norm dim=0 normalizes
+    per *input* channel there; we keep flax layout (k, in, out) and norm
+    over (k, out) per input channel to match.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        v = self.param("v", tinit.conv_transpose_kernel_init, kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 2), keepdims=True)).reshape(shape),
+            (x.shape[-1],),
+        )
+        bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
+                          (self.features,))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True))
+        w = v * (g.reshape(1, -1, 1) / jnp.maximum(norm, 1e-12))
+        k = self.kernel_size
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(w, 0),
+            window_strides=(1,),
+            padding=[(k - 1 - self.padding, k - 1 - self.padding)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.output_padding:
+            y = jnp.pad(y, ((0, 0), (0, self.output_padding), (0, 0)))
+        return y + bias
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized conv2d on [B, H, W, C] (HiFi DiscriminatorP)."""
+
+    features: int
+    kernel_size: tp.Tuple[int, int]
+    stride: tp.Tuple[int, int] = (1, 1)
+    padding: tp.Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        v = self.param("v", tinit.conv_kernel_init, kshape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(v * v, axis=(0, 1, 2), keepdims=True)).reshape(shape),
+            (self.features,),
+        )
+        bias = self.param("bias", tinit.conv_bias_init_for(kshape),
+                          (self.features,))
+        w = _weight_norm(v, g.reshape(1, 1, 1, -1))
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=self.stride,
+            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class SNConv1d(nn.Module):
+    """Spectral-normalized conv1d (DiscriminatorS first scale,
+    src/models/discriminators.py:154,185). One power iteration per
+    training step with a persistent ``u`` vector, like torch."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1] // self.groups
+        kshape = (self.kernel_size, in_ch, self.features)
+        w = self.param("kernel", tinit.conv_kernel_init, kshape)
+        bias = self.param("bias", tinit.conv_bias_init_for(kshape),
+                          (self.features,))
+        # torch reshapes weight to [out, -1] for the power iteration
+        w_mat = w.reshape(-1, self.features).T  # [out, k*in]
+        u = self.variable(
+            "spectral_stats", "u",
+            lambda: jax.random.normal(self.make_rng("params")
+                                      if self.has_rng("params")
+                                      else jax.random.PRNGKey(0),
+                                      (self.features,)))
+        u_val = u.value
+        v = w_mat.T @ u_val
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u_new = w_mat @ v
+        u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
+        if train and not self.is_initializing():
+            u.value = jax.lax.stop_gradient(u_new)
+        sigma = jnp.einsum("o,oi,i->", jax.lax.stop_gradient(u_new), w_mat,
+                           jax.lax.stop_gradient(v))
+        w_sn = w / sigma
+        y = jax.lax.conv_general_dilated(
+            x, w_sn,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            feature_group_count=self.groups,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+def avg_pool1d(x, kernel: int, stride: int, padding: int,
+               count_include_pad: bool = True):
+    """torch AvgPool1d on [B, T, C]."""
+    ones = jnp.ones((1, 1, kernel), x.dtype)  # OIH layout
+    b, t, c = x.shape
+    xt = jnp.moveaxis(x, -1, 1).reshape(b * c, 1, t)
+    sums = jax.lax.conv_general_dilated(
+        xt, ones, (stride,), [(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    if count_include_pad:
+        out = sums / kernel
+    else:
+        cnt = jax.lax.conv_general_dilated(
+            jnp.ones((1, 1, t), x.dtype), ones, (stride,),
+            [(padding, padding)], dimension_numbers=("NCH", "OIH", "NCH"))
+        out = sums / cnt
+    out = out.reshape(b, c, -1)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def reflect_pad_time(x, pad: int):
+    """Reflection padding along the time axis of [B, T, C]."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+
+
+class NLayerDiscriminator(nn.Module):
+    """MelGAN sub-discriminator (src/models/discriminators.py:14-56).
+    Returns the list of all intermediate feature maps (last = logits)."""
+
+    ndf: int
+    n_layers: int
+    downsampling_factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        results = []
+        h = reflect_pad_time(x, 7)
+        h = WNConv1d(self.ndf, 15, name="layer_0")(h)
+        h = leaky_relu(h, 0.2)
+        results.append(h)
+
+        nf = self.ndf
+        stride = self.downsampling_factor
+        max_nf = (stride ** (self.n_layers - 1)) * self.ndf
+        for n in range(1, self.n_layers + 1):
+            nf_prev = nf
+            nf = min(nf * stride, max_nf)
+            h = WNConv1d(nf, stride * 10 + 1, stride=stride,
+                         padding=stride * 5, groups=nf_prev // 4,
+                         name=f"layer_{n}")(h)
+            h = leaky_relu(h, 0.2)
+            results.append(h)
+
+        nf = min(nf * 2, max_nf)
+        h = WNConv1d(nf, 5, stride=1, padding=2,
+                     name=f"layer_{self.n_layers + 1}")(h)
+        h = leaky_relu(h, 0.2)
+        results.append(h)
+
+        h = WNConv1d(1, 3, stride=1, padding=1,
+                     name=f"layer_{self.n_layers + 2}")(h)
+        results.append(h)
+        return results
+
+
+class MelganDiscriminator(nn.Module):
+    """MelGAN multi-scale discriminator (src/models/discriminators.py:59-78).
+
+    Input [B, T, 1]; returns list (one per scale) of feature-map lists.
+    """
+
+    num_D: int
+    ndf: int
+    n_layers: int
+    downsampling_factor: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        results = []
+        for i in range(self.num_D):
+            results.append(
+                NLayerDiscriminator(self.ndf, self.n_layers,
+                                    self.downsampling_factor,
+                                    name=f"disc_{i}")(x))
+            x = avg_pool1d(x, 4, 2, 1, count_include_pad=False)
+        return results
+
+
+def get_padding(kernel_size, dilation=1):
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+class DiscriminatorP(nn.Module):
+    """HiFi-GAN period discriminator (src/models/discriminators.py:89-123)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    hidden: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fmap = []
+        b, t, c = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        h = x.reshape(b, t // self.period, self.period, c)
+
+        chans = [self.hidden, self.hidden * 4, self.hidden * 16,
+                 self.hidden * 32]
+        for i, ch in enumerate(chans):
+            h = WNConv2d(ch, (self.kernel_size, 1), (self.stride, 1),
+                         (get_padding(5, 1), 0), name=f"convs_{i}")(h)
+            h = leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        h = WNConv2d(self.hidden * 32, (self.kernel_size, 1), (1, 1),
+                     (2, 0), name="convs_4")(h)
+        h = leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 1), (1, 1), (1, 0), name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """(src/models/discriminators.py:126-147). Returns
+    (real_logits, gen_logits, real_fmaps, gen_fmaps)."""
+
+    hidden: int = 32
+    periods: tp.Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat, train: bool = False):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, period in enumerate(self.periods):
+            d = DiscriminatorP(period, hidden=self.hidden,
+                               name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y, train)
+            y_d_g, fmap_g = d(y_hat, train)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class DiscriminatorS(nn.Module):
+    """HiFi-GAN scale discriminator (src/models/discriminators.py:150-177)."""
+
+    use_spectral_norm: bool = False
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hd = self.hidden
+        specs = [
+            dict(features=hd, kernel_size=15, stride=1, padding=7, groups=1),
+            dict(features=hd, kernel_size=41, stride=2, padding=20, groups=4),
+            dict(features=hd * 2, kernel_size=41, stride=2, padding=20, groups=16),
+            dict(features=hd * 4, kernel_size=41, stride=4, padding=20, groups=16),
+            dict(features=hd * 8, kernel_size=41, stride=4, padding=20, groups=16),
+            dict(features=hd * 8, kernel_size=41, stride=1, padding=20, groups=16),
+            dict(features=hd * 8, kernel_size=5, stride=1, padding=2, groups=1),
+        ]
+        fmap = []
+        h = x
+        for i, s in enumerate(specs):
+            if self.use_spectral_norm:
+                h = SNConv1d(**s, name=f"convs_{i}")(h, train)
+            else:
+                h = WNConv1d(**s, name=f"convs_{i}")(h)
+            h = leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        if self.use_spectral_norm:
+            h = SNConv1d(1, 3, 1, 1, name="conv_post")(h, train)
+        else:
+            h = WNConv1d(1, 3, 1, 1, name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """(src/models/discriminators.py:180-208)."""
+
+    hidden: int = 64
+    num_D: int = 3
+
+    @nn.compact
+    def __call__(self, y, y_hat, train: bool = False):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(self.num_D):
+            if i != 0:
+                y = avg_pool1d(y, 4, 2, 2)
+                y_hat = avg_pool1d(y_hat, 4, 2, 2)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), hidden=self.hidden,
+                               name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y, train)
+            y_d_g, fmap_g = d(y_hat, train)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -1,0 +1,222 @@
+"""Import reference PyTorch checkpoints into aero_tpu variable trees.
+
+The reference serializes ``checkpoint.th`` with per-model state dicts
+(``/root/reference/src/model_serializer.py:39-63``). This shim maps those
+tensors onto our Flax trees so published AERO checkpoints run directly
+on TPU, and so tests can verify forward parity with identical weights.
+
+Layout transforms (torch -> flax):
+- Conv{1,2}d weight [out, in, *k]      -> kernel (*k, in, out)
+- ConvTranspose weight [in, out, *k]   -> kernel (*k, in, out)
+- Linear weight [out, in]              -> kernel [in, out]
+- weight-norm: weight_v like conv, weight_g squeezed
+- LSTM weight_ih/hh [4H, in]           -> [in, 4H]
+- GroupNorm/BatchNorm weight/bias      -> scale/bias (+ running stats)
+"""
+
+from __future__ import annotations
+
+import re
+import typing as tp
+
+import numpy as np
+
+
+def _t_conv(w):  # torch conv -> flax kernel
+    w = np.asarray(w)
+    if w.ndim == 3:
+        return np.transpose(w, (2, 1, 0))
+    if w.ndim == 4:
+        return np.transpose(w, (2, 3, 1, 0))
+    raise ValueError(w.shape)
+
+
+def _t_convtr(w):  # torch transposed conv [in, out, *k] -> (*k, in, out)
+    w = np.asarray(w)
+    if w.ndim == 3:
+        return np.transpose(w, (2, 0, 1))
+    if w.ndim == 4:
+        if w.shape[-1] == 1:  # [in, out, k, 1] freq transpose
+            return np.transpose(w[..., 0], (2, 0, 1))
+        if w.shape[-2] == 1:  # [in, out, 1, k] time transpose
+            return np.transpose(w[:, :, 0, :], (2, 0, 1))
+    raise ValueError(w.shape)
+
+
+def _aero_torch_key(path: tp.Tuple[str, ...]) -> tp.Tuple[str, tp.Callable]:
+    """Map a flax param path (collection stripped) to (torch key, transform)."""
+    ident = lambda x: np.asarray(x)
+    p = list(path)
+    out: tp.List[str] = []
+    transform = ident
+
+    def conv_leaf(leaf):
+        return {"kernel": ("weight", _t_conv), "bias": ("bias", ident)}[leaf]
+
+    i = 0
+    while i < len(p):
+        seg = p[i]
+        m = re.fullmatch(r"(encoder|decoder)_(\d+)", seg)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}")
+            i += 1
+            continue
+        if seg in ("pre_conv", "conv", "rewrite") and p[i + 1] == "conv":
+            name, transform = conv_leaf(p[i + 2])
+            out.append(f"{seg}.{name}")
+            return ".".join(out), transform
+        if seg == "conv_tr":
+            leaf = p[i + 1]
+            if leaf == "kernel":
+                out.append("conv_tr.weight")
+                return ".".join(out), _t_convtr
+            out.append("conv_tr.bias")
+            return ".".join(out), ident
+        if seg in ("norm1", "norm2") and p[i + 1] == "gn":
+            name = {"scale": "weight", "bias": "bias"}[p[i + 2]]
+            out.append(f"{seg}.{name}")
+            return ".".join(out), ident
+        if seg == "freq_emb":
+            out.append("freq_emb.embedding.weight")
+            return ".".join(out), ident
+        if seg == "freq_attn_block":
+            nxt = p[i + 1]
+            if nxt in ("conv1", "conv1d", "conv2") and p[i + 2] == "conv":
+                name, transform = conv_leaf(p[i + 3])
+                out.append(f"freq_attn_block.{nxt}.0.{name}")
+                return ".".join(out), transform
+            if nxt.endswith("_bn"):
+                base = nxt[:-3]
+                leaf = p[i + 3]
+                name = {"scale": "weight", "bias": "bias",
+                        "mean": "running_mean", "var": "running_var"}[leaf]
+                out.append(f"freq_attn_block.{base}.1.{name}")
+                return ".".join(out), ident
+            if nxt == "freq_fc":
+                out.append("freq_attn_block.freq_fc.weight")
+                return ".".join(out), lambda w: np.asarray(w).T
+            raise KeyError(path)
+        if seg == "dconv":
+            nxt = p[i + 1]
+            m = re.fullmatch(r"layers_(\d+)_(\w+)", nxt)
+            d, sub = m.group(1), m.group(2)
+            base = f"dconv.layers.{d}"
+            if sub == "conv1" and p[i + 2] == "conv":
+                name, transform = conv_leaf(p[i + 3])
+                out.append(f"{base}.conv1.0.{name}")
+                return ".".join(out), transform
+            if sub == "norm1":
+                name = {"scale": "weight", "bias": "bias"}[p[i + 3]]
+                out.append(f"{base}.conv1.1.{name}")
+                return ".".join(out), ident
+            if sub == "conv2" and p[i + 2] == "conv":
+                name, transform = conv_leaf(p[i + 3])
+                out.append(f"{base}.conv2.0.{name}")
+                return ".".join(out), transform
+            if sub == "norm2":
+                name = {"scale": "weight", "bias": "bias"}[p[i + 3]]
+                out.append(f"{base}.conv2.1.{name}")
+                return ".".join(out), ident
+            if sub == "scale":
+                out.append(f"{base}.conv2.3.scale")
+                return ".".join(out), ident
+            if sub == "act":
+                out.append(f"{base}.act.a")
+                return ".".join(out), ident
+            if sub == "time_attn":
+                conv = p[i + 2]
+                name, transform = conv_leaf(p[i + 4])
+                out.append(f"{base}.time_attn.{conv}.{name}")
+                return ".".join(out), transform
+            if sub == "lstm":
+                if p[i + 2] == "linear":
+                    leaf = p[i + 3]
+                    if leaf == "kernel":
+                        out.append(f"{base}.lstm.linear.weight")
+                        return ".".join(out), lambda w: np.asarray(w).T
+                    out.append(f"{base}.lstm.linear.bias")
+                    return ".".join(out), ident
+                # lstm/l{k}_d{dir}_{w_ih|w_hh|b_ih|b_hh}
+                lm = re.fullmatch(r"l(\d+)_d(\d+)_(w|b)_(ih|hh)", p[i + 3])
+                layer, direc, kind, gate = lm.groups()
+                suffix = "_reverse" if direc == "1" else ""
+                tname = f"{'weight' if kind == 'w' else 'bias'}_{gate}_l{layer}{suffix}"
+                out.append(f"{base}.lstm.lstm.{tname}")
+                if kind == "w":
+                    return ".".join(out), lambda w: np.asarray(w).T
+                return ".".join(out), ident
+            raise KeyError(path)
+        raise KeyError(f"unmapped path: {path}")
+    raise KeyError(f"unmapped path: {path}")
+
+
+def _walk(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    expected = node[path[-1]].shape
+    if tuple(value.shape) != tuple(expected):
+        raise ValueError(f"shape mismatch at {path}: torch {value.shape} "
+                         f"vs flax {expected}")
+    node[path[-1]] = value
+
+
+def import_aero_state(state_dict: tp.Mapping[str, np.ndarray], variables):
+    """Map a reference Aero state_dict onto our variables.
+
+    ``variables``: the dict from ``model.init`` ({'params', 'batch_stats'}).
+    Returns a new (plain-dict) variables tree with imported values.
+    """
+    import jax
+
+    out = jax.tree.map(lambda x: np.asarray(x), jax.tree_util.tree_map(
+        lambda x: x, dict(variables)))
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    used = set()
+
+    for coll in ("params", "batch_stats"):
+        if coll not in out:
+            continue
+        for path, _leaf in list(_walk(out[coll])):
+            tkey, transform = _aero_torch_key(path)
+            if tkey not in sd:
+                raise KeyError(f"torch key {tkey} (for {coll}/{path}) missing")
+            _set(out[coll], path, transform(sd[tkey]).astype(np.float32))
+            used.add(tkey)
+
+    leftover = {k for k in sd if k not in used
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise KeyError(f"unconsumed torch keys: {sorted(leftover)[:8]} ...")
+    return out
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference checkpoint.th -> dict of numpy state dicts.
+
+    Returns {'models': {name: state_dict}, 'best_states': {...} or None}.
+    Requires torch (CPU) at call time only.
+    """
+    import torch
+
+    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    out = {"models": {}, "best_states": None}
+    for name, mp in pkg.get("models", {}).items():
+        out["models"][name] = {k: v.numpy() for k, v in mp["state"].items()}
+    best = pkg.get("best_states") or {}
+    models_best = best.get("models", best) if isinstance(best, dict) else {}
+    if models_best:
+        out["best_states"] = {}
+        for name, mp in models_best.items():
+            state = mp.get("state", mp)
+            out["best_states"][name] = {
+                k: v.numpy() for k, v in state.items()}
+    return out
