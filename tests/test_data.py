@@ -1,0 +1,116 @@
+"""Data pipeline tests: WAV I/O round-trip, Audioset segment math parity,
+LrHrSet pairing, loader sharding semantics."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from aero_tpu.data import audio_io
+from aero_tpu.data.datasets import Audioset, LrHrSet, match_signal
+from aero_tpu.data.loader import Loader
+from aero_tpu.data.prep import make_dummy_dataset
+
+
+def test_wav_roundtrip_16bit(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (0.5 * rng.standard_normal((1, 4321))).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "a.wav")
+    audio_io.save(p, x, 16000)
+    y, sr = audio_io.load(p)
+    assert sr == 16000 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32768)
+
+
+def test_wav_roundtrip_float32_stereo(tmp_path):
+    rng = np.random.default_rng(1)
+    x = (0.5 * rng.standard_normal((2, 1000))).astype(np.float32)
+    p = str(tmp_path / "b.wav")
+    audio_io.save(p, x, 44100, bits_per_sample=32)
+    y, sr = audio_io.load(p)
+    assert sr == 44100
+    np.testing.assert_allclose(y, x, atol=0)
+
+
+def test_wav_seek(tmp_path):
+    x = np.arange(1000, dtype=np.float32)[None] / 2000.0
+    p = str(tmp_path / "c.wav")
+    audio_io.save(p, x, 8000)
+    y, _ = audio_io.load(p, frame_offset=100, num_frames=50)
+    np.testing.assert_allclose(y, x[:, 100:150], atol=1.0 / 32768)
+    meta = audio_io.info(p)
+    assert meta.num_frames == 1000 and meta.channels == 1
+
+
+def test_audioset_example_count_math(tmp_path):
+    """Example-count formula parity with src/data/audio.py:24-33."""
+    files = []
+    for i, n in enumerate([8000, 7999, 16000, 100]):
+        p = str(tmp_path / f"f{i}.wav")
+        audio_io.save(p, np.zeros((1, n), np.float32), 4000)
+        files.append([p, n])
+    length, stride = 8000, 8000
+    ds = Audioset(files, length=length, stride=stride, pad=True,
+                  sample_rate=4000, channels=1)
+    expected = []
+    for _, fl in files:
+        if fl < length:
+            expected.append(1)
+        else:
+            expected.append(int(math.ceil((fl - length) / stride) + 1))
+    assert ds.num_examples == expected
+    # padded read
+    item = ds[len(ds) - 1]
+    assert item.shape == (1, 8000)
+
+
+def test_lrhr_dummy_pipeline(tmp_path):
+    root = make_dummy_dataset(str(tmp_path / "egs"), n_files=4)
+    ds = LrHrSet(os.path.join(root, "tr"), 4000, 16000, stride=2, segment=2,
+                 upsample=False)
+    lr, hr = ds[0]
+    assert lr.shape == (1, 8000) and hr.shape == (1, 32000)
+    ds_up = LrHrSet(os.path.join(root, "tr"), 4000, 16000, stride=2, segment=2,
+                    upsample=True)
+    lr_u, hr_u = ds_up[0]
+    assert lr_u.shape == hr_u.shape == (1, 32000)
+
+
+def test_loader_shard_and_shuffle(tmp_path):
+    class Rangeset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.full((1, 4), i, np.float32)
+
+    ds = Rangeset()
+    all_items = set()
+    for rank in range(2):
+        ld = Loader(ds, batch_size=2, shuffle=True, seed=7, rank=rank,
+                    world_size=2, num_workers=0)
+        ld.set_epoch(3)
+        for batch in ld:
+            all_items.update(batch[:, 0, 0].astype(int).tolist())
+    assert all_items == set(range(10))
+
+    # different epochs give different order
+    ld = Loader(ds, batch_size=10, shuffle=True, seed=7, num_workers=0)
+    ld.set_epoch(0)
+    o0 = next(iter(ld))[:, 0, 0]
+    ld.set_epoch(1)
+    o1 = next(iter(ld))[:, 0, 0]
+    assert not np.array_equal(o0, o1)
+
+    # drop_last
+    ld = Loader(ds, batch_size=3, drop_last=True, num_workers=0)
+    assert len(ld) == 3
+    assert sum(1 for _ in ld) == 3
+
+
+def test_match_signal():
+    x = np.ones((1, 10), np.float32)
+    assert match_signal(x, 15).shape == (1, 15)
+    assert match_signal(x, 5).shape == (1, 5)
