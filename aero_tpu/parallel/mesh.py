@@ -1,0 +1,60 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's DDP runtime
+(``/root/reference/src/ddp/distrib.py``): instead of NCCL process groups
+and gradient-bucket all-reduce, we build a ``jax.sharding.Mesh`` over
+the chips, annotate the batch axis with a NamedSharding, and let the
+XLA partitioner insert the gradient/metric all-reduces over ICI.
+
+The DDP wrap / ``distrib.average`` / barrier API surface collapses into:
+- ``make_mesh()``            — mesh over all local/global devices
+- ``shard_batch`` sharding   — batch split over the ``dp`` axis
+- ``replicated`` sharding    — parameters/optimizer state
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: tp.Optional[tp.Sequence] = None,
+              axis_name: str = "dp") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
+    """Device_put a host batch (pytree of [B, ...] arrays) split on dp."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to(batch, size: int):
+    """Pad the leading axis to ``size`` (repeating the first element) so
+    ragged final eval batches keep static XLA shapes. Returns (batch, n_real)."""
+    def pad(x):
+        n = x.shape[0]
+        if n == size:
+            return x
+        reps = np.repeat(x[:1], size - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    n_real = jax.tree.leaves(batch)[0].shape[0]
+    return jax.tree.map(pad, batch), n_real

@@ -1,0 +1,53 @@
+"""Model/variable construction helpers shared by the CLIs and tests."""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aero_tpu.models import factory
+from aero_tpu.models.init import rescale_tree
+
+
+def segment_shapes(args) -> tp.Tuple[tp.Tuple[int, ...], tp.Tuple[int, ...]]:
+    """(lr, hr) training segment shapes [B, 1, T] from the config."""
+    exp = args.experiment
+    batch = int(exp.batch_size)
+    seg = float(exp.segment)
+    if exp.get("upsample", False):
+        lr_t = int(seg * exp.hr_sr)
+    else:
+        lr_t = int(seg * exp.lr_sr)
+    hr_t = int(seg * exp.hr_sr)
+    return (batch, 1, lr_t), (batch, 1, hr_t)
+
+
+def init_variables(args, models, rng, lr_shape, hr_shape):
+    """Initialize every model's variables; applies the Aero weight-rescale
+    trick (reference aero.py:406-407) to the generator only."""
+    exp = args.experiment
+    variables = {}
+    rngs = jax.random.split(rng, len(models))
+    for r, (name, model) in zip(rngs, models.items()):
+        if name == "generator":
+            v = model.init(r, jnp.zeros(lr_shape), train=False)
+            v = jax.tree_util.tree_map(lambda x: x, dict(v))
+            if exp.model == "aero" and float(exp.aero.get("rescale", 0) or 0):
+                v["params"] = rescale_tree(v["params"],
+                                           float(exp.aero.rescale))
+            variables[name] = v
+        else:
+            x = jnp.zeros((hr_shape[0], hr_shape[2], 1))  # [B, T, C]
+            if name in ("msd_hifi", "mpd"):
+                v = model.init(r, x, x, train=False)
+            else:
+                v = model.init(r, x)
+            variables[name] = dict(v)
+    return variables
+
+
+def build_models(args):
+    return factory.get_model(args)

@@ -1,0 +1,323 @@
+"""The jitted GAN train/valid step.
+
+TPU-native re-design of the reference's per-batch work
+(``/root/reference/src/solver.py:277-349,428-612``): the generator
+forward, every configured loss, BOTH backward passes and BOTH optimizer
+updates are fused into one jitted, donated step. The reference steps the
+generator first and the discriminator second (solver.py:317-321), but
+the discriminator loss graph is built *before* either update — i.e.
+simultaneous gradients — which is exactly what computing both grads from
+the same state and applying both updates does here.
+
+Data parallelism: params are replicated, the batch is sharded on the
+``dp`` mesh axis; XLA's partitioner inserts the gradient all-reduce
+(replacing DDP bucket all-reduce, src/ddp/distrib.py:58-69).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from aero_tpu.losses.adversarial import (
+    hifi_discriminator_loss, hifi_feature_loss, hifi_generator_loss,
+    melgan_discriminator_loss, melgan_generator_losses,
+)
+from aero_tpu.losses.stft_loss import multi_resolution_stft_loss
+from aero_tpu.ops.mel import mel_spectrogram
+from aero_tpu.parallel import mesh as pmesh
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    gen_params: tp.Any
+    gen_state: tp.Any          # e.g. {'batch_stats': ...} (FTB BatchNorm)
+    gen_opt_state: tp.Any
+    disc_params: tp.Any        # {disc_name: params}; empty dict if no GAN
+    disc_state: tp.Any         # {disc_name: {'spectral_stats': ...}}
+    disc_opt_state: tp.Any
+    rng: jnp.ndarray
+
+
+def make_optimizer(args):
+    """torch.optim.Adam(lr, betas=(0.9, beta2)) parity (train.py:83)."""
+    return optax.adam(learning_rate=float(args.lr), b1=0.9,
+                      b2=float(args.beta2), eps=1e-8)
+
+
+def init_state(args, models, variables, rng) -> TrainState:
+    gen_vars = dict(variables["generator"])
+    gen_params = gen_vars.pop("params")
+    disc_params = {}
+    disc_state = {}
+    for name, v in variables.items():
+        if name == "generator":
+            continue
+        v = dict(v)
+        disc_params[name] = v.pop("params")
+        disc_state[name] = v
+
+    opt = make_optimizer(args)
+    gen_opt_state = opt.init(gen_params)
+    disc_opt_state = opt.init(disc_params) if disc_params else ()
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        gen_state=gen_vars,
+        gen_opt_state=gen_opt_state,
+        disc_params=disc_params,
+        disc_state=disc_state,
+        disc_opt_state=disc_opt_state,
+        rng=rng,
+    )
+
+
+def _to_tc(x):
+    """[B, C, T] -> [B, T, C] for channels-last discriminators."""
+    return jnp.swapaxes(x, 1, 2)
+
+
+class LossComputer:
+    """Config-driven loss assembly mirroring solver._get_losses
+    (solver.py:428-468)."""
+
+    def __init__(self, args, models):
+        self.args = args
+        self.models = models
+        exp = args.experiment
+        self.adversarial = bool(exp.get("adversarial", False))
+        self.disc_names = list(exp.get("discriminator_models", [])) \
+            if self.adversarial else []
+        self.losses = list(args.losses)
+        self.only_features = bool(exp.get("only_features_loss", False))
+        self.only_adversarial = bool(exp.get("only_adversarial_loss", False))
+        self.feat_lambda = float(exp.get("features_loss_lambda", 100))
+
+    def generator_losses(self, pr, hr, disc_params, disc_state, train):
+        """Returns ({name: loss}, {}) — gen losses given current discs."""
+        exp = self.args.experiment
+        out = {}
+        if "l1" in self.losses:
+            out["l1"] = jnp.mean(jnp.abs(pr - hr))
+        if "l2" in self.losses:
+            out["l2"] = jnp.mean((pr - hr) ** 2)
+        if "stft" in self.losses:
+            sc, mag = multi_resolution_stft_loss(
+                pr[:, 0, :], hr[:, 0, :],
+                factor_sc=float(self.args.stft_sc_factor),
+                factor_mag=float(self.args.stft_mag_factor))
+            out["stft"] = sc + mag
+
+        if not self.adversarial:
+            return out
+
+        pr_tc, hr_tc = _to_tc(pr), _to_tc(hr)
+        if "msd_melgan" in self.disc_names:
+            disc = self.models["msd_melgan"]
+            p = disc_params["msd_melgan"]
+            d_fake = disc.apply({"params": p}, pr_tc)
+            d_real = disc.apply({"params": p}, hr_tc)
+            adv, feat = melgan_generator_losses(
+                d_fake, d_real,
+                n_layers=int(exp.melgan_discriminator.n_layers),
+                num_d=int(exp.melgan_discriminator.num_D))
+            if not self.only_features:
+                out["adversarial_melgan"] = adv
+            if not self.only_adversarial:
+                out["features_melgan"] = self.feat_lambda * feat
+        if "msd_hifi" in self.disc_names:
+            disc = self.models["msd_hifi"]
+            v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
+            _, y_g, fmap_r, fmap_g = disc.apply(v, hr_tc, pr_tc, train=False)
+            if not self.only_features:
+                out["adversarial_msd"] = hifi_generator_loss(y_g)
+            if not self.only_adversarial:
+                out["features_msd"] = self.feat_lambda * hifi_feature_loss(
+                    fmap_r, fmap_g)
+        if "mpd" in self.disc_names:
+            disc = self.models["mpd"]
+            p = disc_params["mpd"]
+            _, y_g, fmap_r, fmap_g = disc.apply({"params": p}, hr_tc, pr_tc)
+            if not self.only_features:
+                out["adversarial_mpd"] = hifi_generator_loss(y_g)
+            if not self.only_adversarial:
+                out["features_mpd"] = self.feat_lambda * hifi_feature_loss(
+                    fmap_r, fmap_g)
+        if "hifi" in self.disc_names:
+            mpd, msd = self.models["mpd"], self.models["msd_hifi"]
+            _, y_df_g, fmap_f_r, fmap_f_g = mpd.apply(
+                {"params": disc_params["mpd"]}, hr_tc, pr_tc)
+            v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
+            _, y_ds_g, fmap_s_r, fmap_s_g = msd.apply(v, hr_tc, pr_tc,
+                                                      train=False)
+            mel_kw = dict(exp.mel_spectrogram)
+            pr_mel = mel_spectrogram(pr, int(exp.hr_sr), **mel_kw)
+            hr_mel = mel_spectrogram(hr, int(exp.hr_sr), **mel_kw)
+            loss_mel = jnp.mean(jnp.abs(hr_mel - pr_mel)) * float(
+                exp.get("mel_spec_loss_lambda", 45))
+            fm = hifi_feature_loss(fmap_s_r, fmap_s_g) + hifi_feature_loss(
+                fmap_f_r, fmap_f_g)
+            if self.only_features:
+                out["adversarial_hifi"] = fm
+            else:
+                out["adversarial_hifi"] = (hifi_generator_loss(y_ds_g)
+                                           + hifi_generator_loss(y_df_g)
+                                           + fm + loss_mel)
+        return out
+
+    def discriminator_losses(self, pr_sg, hr, disc_params, disc_state, train):
+        """Returns ({name: loss}, new_disc_state)."""
+        out = {}
+        new_state = dict(disc_state)
+        pr_tc, hr_tc = _to_tc(pr_sg), _to_tc(hr)
+        if "msd_melgan" in self.disc_names:
+            disc = self.models["msd_melgan"]
+            p = disc_params["msd_melgan"]
+            d_fake = disc.apply({"params": p}, pr_tc)
+            d_real = disc.apply({"params": p}, hr_tc)
+            out["msd_melgan"] = melgan_discriminator_loss(d_fake, d_real)
+        if "msd_hifi" in self.disc_names or "hifi" in self.disc_names:
+            disc = self.models["msd_hifi"]
+            v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
+            mutable = [k for k in disc_state["msd_hifi"]] if train else []
+            if mutable:
+                (y_r, y_g, _, _), upd = disc.apply(v, hr_tc, pr_tc, train=train,
+                                                   mutable=mutable)
+                new_state["msd_hifi"] = dict(upd)
+            else:
+                y_r, y_g, _, _ = disc.apply(v, hr_tc, pr_tc, train=train)
+            key = "msd" if "msd_hifi" in self.disc_names else "hifi_msd"
+            out[key] = hifi_discriminator_loss(y_r, y_g)
+        if "mpd" in self.disc_names or "hifi" in self.disc_names:
+            disc = self.models["mpd"]
+            y_r, y_g, _, _ = disc.apply({"params": disc_params["mpd"]},
+                                        hr_tc, pr_tc)
+            out["mpd" if "mpd" in self.disc_names else "hifi_mpd"] = \
+                hifi_discriminator_loss(y_r, y_g)
+        if "hifi" in self.disc_names:
+            out = {"hifi": out.get("hifi_msd", 0.0) + out.get("hifi_mpd", 0.0)}
+        return out, new_state
+
+
+def make_train_step(args, models, mesh=None, donate=True):
+    """Build the jitted train step: (state, lr, hr) -> (state, metrics)."""
+    lc = LossComputer(args, models)
+    gen = models["generator"]
+    opt = make_optimizer(args)
+
+    def step(state: TrainState, lr_batch, hr_batch):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def gen_loss_fn(gen_params):
+            variables = {"params": gen_params, **state.gen_state}
+            mutable = list(state.gen_state.keys())
+            if mutable:
+                pr, gen_upd = gen.apply(variables, lr_batch, train=True,
+                                        mutable=mutable)
+                gen_upd = dict(gen_upd)
+            else:
+                pr = gen.apply(variables, lr_batch, train=True)
+                gen_upd = {}
+            losses = lc.generator_losses(pr, hr_batch, state.disc_params,
+                                         state.disc_state, train=True)
+            total = sum(losses.values())
+            return total, (losses, gen_upd, pr)
+
+        (gen_total, (gen_losses, gen_upd, pr)), gen_grads = \
+            jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen_params)
+
+        gen_updates, gen_opt_state = opt.update(gen_grads, state.gen_opt_state,
+                                                state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        disc_params = state.disc_params
+        disc_opt_state = state.disc_opt_state
+        disc_state = state.disc_state
+        disc_losses = {}
+        if lc.adversarial and state.disc_params:
+            pr_sg = jax.lax.stop_gradient(pr)
+
+            def disc_loss_fn(dparams):
+                losses, new_dstate = lc.discriminator_losses(
+                    pr_sg, hr_batch, dparams, state.disc_state, train=True)
+                return sum(losses.values()), (losses, new_dstate)
+
+            (_, (disc_losses, disc_state)), disc_grads = \
+                jax.value_and_grad(disc_loss_fn, has_aux=True)(state.disc_params)
+            disc_updates, disc_opt_state = opt.update(
+                disc_grads, state.disc_opt_state, state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_state=gen_upd if gen_upd else state.gen_state,
+            gen_opt_state=gen_opt_state,
+            disc_params=disc_params,
+            disc_state=disc_state,
+            disc_opt_state=disc_opt_state,
+            rng=rng,
+        )
+        metrics = {f"generator_{k}": v for k, v in gen_losses.items()}
+        metrics.update({f"discriminator_{k}": v for k, v in disc_losses.items()})
+        metrics["total"] = gen_total
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        repl = pmesh.replicated(mesh)
+        bsh = pmesh.batch_sharding(mesh)
+        return jax.jit(step, donate_argnums=donate_argnums,
+                       in_shardings=(repl, bsh, bsh),
+                       out_shardings=(repl, repl))
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_valid_step(args, models, mesh=None):
+    """No-update loss pass (solver cross-valid, solver.py:277-349)."""
+    lc = LossComputer(args, models)
+    gen = models["generator"]
+
+    def step(state: TrainState, lr_batch, hr_batch):
+        variables = {"params": state.gen_params, **state.gen_state}
+        pr = gen.apply(variables, lr_batch, train=False)
+        pr = pr[..., :hr_batch.shape[-1]]
+        if pr.shape[-1] < hr_batch.shape[-1]:
+            pr = jnp.pad(pr, [(0, 0)] * (pr.ndim - 1)
+                         + [(0, hr_batch.shape[-1] - pr.shape[-1])])
+        gen_losses = lc.generator_losses(pr, hr_batch, state.disc_params,
+                                         state.disc_state, train=False)
+        disc_losses, _ = lc.discriminator_losses(
+            pr, hr_batch, state.disc_params, state.disc_state, train=False) \
+            if lc.adversarial and state.disc_params else ({}, None)
+        metrics = {f"generator_{k}": v for k, v in gen_losses.items()}
+        metrics.update({f"discriminator_{k}": v for k, v in disc_losses.items()})
+        metrics["total"] = sum(gen_losses.values())
+        return metrics
+
+    if mesh is not None:
+        repl = pmesh.replicated(mesh)
+        bsh = pmesh.batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, bsh, bsh), out_shardings=repl)
+    return jax.jit(step)
+
+
+def make_forward(models, mesh=None):
+    """Jitted inference forward: (state, lr) -> pr."""
+    gen = models["generator"]
+
+    def fwd(state: TrainState, lr_batch):
+        variables = {"params": state.gen_params, **state.gen_state}
+        return gen.apply(variables, lr_batch, train=False)
+
+    if mesh is not None:
+        repl = pmesh.replicated(mesh)
+        bsh = pmesh.batch_sharding(mesh)
+        return jax.jit(fwd, in_shardings=(repl, bsh), out_shardings=bsh)
+    return jax.jit(fwd)
