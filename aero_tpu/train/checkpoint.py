@@ -34,12 +34,20 @@ SERIALIZE_KEY_STATE = "state"
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def conv(x):
+        if isinstance(x, (str, bytes, bool, int, float)) or x is None:
+            return x
+        return np.asarray(x)
+
+    return jax.tree.map(conv, tree)
 
 
 def save_package(path: str, package: tp.Mapping[str, tp.Any]) -> None:
     """Atomic tmp+rename write (parity: model_serializer.py:49-53)."""
-    blob = serialization.msgpack_serialize(_to_numpy(dict(package)))
+    # to_state_dict turns tuple pytrees (optax states) into nested dicts
+    # that msgpack can encode; from_state_dict restores them on load.
+    blob = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_numpy(dict(package))))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
