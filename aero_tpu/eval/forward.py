@@ -1,0 +1,107 @@
+"""Variable-length inference under XLA's static-shape model.
+
+The reference evaluates full-length files at batch 1
+(``/root/reference/train.py:62-74``) — trivially dynamic in eager torch,
+a recompilation storm under jit. Strategy here (SURVEY.md §7 hard parts):
+pad the input up to a length bucket (multiple of ``bucket_s`` seconds),
+run a per-bucket cached jitted forward, and trim the output to the true
+scaled length. ``bucket_s=0`` compiles per exact length instead.
+
+Padding uses edge-reflection rather than zeros so the model's global
+mean/std normalization and time attention see realistic statistics in
+the padded tail.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_reflect_tail(x: np.ndarray, target: int) -> np.ndarray:
+    t = x.shape[-1]
+    if t >= target:
+        return x[..., :target]
+    pad = target - t
+    out = x
+    while pad > 0:
+        chunk = min(pad, out.shape[-1] - 1) if out.shape[-1] > 1 else pad
+        tail = out[..., -chunk - 1:-1][..., ::-1] if out.shape[-1] > 1 else \
+            np.zeros(out.shape[:-1] + (chunk,), out.dtype)
+        out = np.concatenate([out, tail], axis=-1)
+        pad -= chunk
+    return out
+
+
+class EvalForward:
+    """Jitted full-file generator forward with length bucketing.
+
+    ``scale`` is output-length / input-length (e.g. 4 for 4->16 kHz
+    spectral upsampling, 1 when the dataset pre-upsamples).
+    """
+
+    def __init__(self, gen, state, scale: float, lr_sr: int,
+                 bucket_s: float = 1.0, return_spec: bool = False):
+        self.gen = gen
+        self.state = state
+        self.scale = scale
+        self.bucket = int(bucket_s * lr_sr)
+        self.return_spec = return_spec
+        self._cache: tp.Dict[int, tp.Any] = {}
+
+    def update_state(self, state):
+        self.state = state
+        # params change but shapes don't: cached jits stay valid since
+        # state is an argument.
+
+    def _fn_for(self, t: int):
+        if t not in self._cache:
+            gen = self.gen
+            return_spec = self.return_spec
+
+            @jax.jit
+            def fwd(state, lr):
+                variables = {"params": state.gen_params, **state.gen_state}
+                if return_spec:
+                    return gen.apply(variables, lr, train=False,
+                                     return_spec=True, return_lr_spec=True)
+                return gen.apply(variables, lr, train=False)
+
+            self._cache[t] = fwd
+        return self._cache[t]
+
+    def __call__(self, lr: np.ndarray):
+        """lr: [B, 1, T] numpy -> pr [B, 1, T*scale] (+ specs if configured)."""
+        t = lr.shape[-1]
+        padded_t = t if self.bucket <= 0 else \
+            max(self.bucket, int(math.ceil(t / self.bucket)) * self.bucket)
+        x = _pad_reflect_tail(np.asarray(lr, np.float32), padded_t)
+        out = self._fn_for(padded_t)(self.state, jnp.asarray(x))
+        target = int(t * self.scale)
+        if self.return_spec:
+            pr, pr_spec, lr_spec = out
+            return (np.asarray(pr)[..., :target], np.asarray(pr_spec),
+                    np.asarray(lr_spec))
+        return np.asarray(out)[..., :target]
+
+
+class ChunkedInference:
+    """predict.py-style fixed-duration chunking (reference predict.py:22,61-85):
+    split into ``segment_s`` chunks, forward each, concatenate."""
+
+    def __init__(self, forward: tp.Callable, sr: int, segment_s: float = 10.0):
+        self.forward = forward
+        self.chunk = int(sr * segment_s)
+
+    def __call__(self, lr: np.ndarray) -> np.ndarray:
+        t = lr.shape[-1]
+        n_chunks = max(1, math.ceil(t / self.chunk))
+        outs = []
+        for i in range(n_chunks):
+            sl = lr[..., i * self.chunk:min((i + 1) * self.chunk, t)]
+            outs.append(np.asarray(self.forward(sl)))
+        return np.concatenate(outs, axis=-1)

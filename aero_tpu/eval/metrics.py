@@ -1,0 +1,109 @@
+"""Quality metrics: LSD and ViSQOL.
+
+Parity: /root/reference/src/metrics.py —
+- LSD (:37-70): log-spectral distance on STFT(2048, hop 512, Hann)
+  log10-power magnitudes, RMS over frequency then mean.
+- ViSQOL (:74-138): external C++ CLI via subprocess, 16-bit wavs
+  resampled to 16 kHz (speech) / 48 kHz (audio); stdout float parsed;
+  0 on any failure (excluded from averages upstream).
+"""
+
+from __future__ import annotations
+
+import errno
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+from aero_tpu.data import audio_io
+from aero_tpu.ops.resample import resample_np
+from aero_tpu.ops.spec import stft
+
+logger = logging.getLogger(__name__)
+
+VISQOL_MIN_DURATION = 0.48
+
+
+def stft_mag_np(x: np.ndarray, nfft: int = 2048, hop: int = 512) -> np.ndarray:
+    """|STFT| with Hann(nfft), center, not normalized — matches the
+    reference STFTMag buffer setup (metrics.py:37-56)."""
+    import jax.numpy as jnp
+
+    z = stft(jnp.asarray(x, dtype=jnp.float32), nfft, hop, nfft,
+             normalized=False, center=True, pad_mode="reflect")
+    return np.abs(np.asarray(z))
+
+
+def get_lsd(ref_sig: np.ndarray, out_sig: np.ndarray) -> float:
+    """ref/out: [B, T]. Reference metrics.py:59-70."""
+    sp = np.log10(np.maximum(stft_mag_np(ref_sig) ** 2, 1e-8))
+    st = np.log10(np.maximum(stft_mag_np(out_sig) ** 2, 1e-8))
+    return float(np.mean(np.sqrt(np.mean((sp - st) ** 2, axis=1))))
+
+
+def get_visqol(ref_sig: np.ndarray, out_sig: np.ndarray, filename: str,
+               sr: int, speech_mode: bool, visqol_path: str) -> float:
+    """Reference CLI contract (metrics.py:74-138): writes 16-bit wavs,
+    runs ``./bazel-bin/visqol`` from ``visqol_path``, parses the trailing
+    float from stdout. Returns 0 on any failure."""
+    tmp_reference = os.path.abspath(f"{filename}_ref.wav")
+    tmp_estimation = os.path.abspath(f"{filename}_est.wav")
+
+    if speech_mode:
+        target_sr = 16000
+    else:
+        target_sr = 48000
+
+    try:
+        ref = np.atleast_2d(ref_sig)
+        out = np.atleast_2d(out_sig)
+        if sr != target_sr:
+            ref = resample_np(ref, sr, target_sr)
+            out = resample_np(out, sr, target_sr)
+        audio_io.save(tmp_reference, ref, target_sr, bits_per_sample=16)
+        audio_io.save(tmp_estimation, out, target_sr, bits_per_sample=16)
+
+        if not os.path.isfile(tmp_reference):
+            raise FileNotFoundError(errno.ENOENT, os.strerror(errno.ENOENT),
+                                    tmp_reference)
+        if ref.shape[-1] / target_sr < VISQOL_MIN_DURATION or \
+                out.shape[-1] / target_sr < VISQOL_MIN_DURATION:
+            raise ValueError("File duration is too small.")
+
+        cmd = (f"cd {visqol_path}; ./bazel-bin/visqol "
+               f"--reference_file {tmp_reference} "
+               f"--degraded_file {tmp_estimation} ")
+        if speech_mode:
+            cmd += "--use_speech_mode"
+        proc = subprocess.run(cmd, shell=True, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+        value = proc.stdout.decode("utf-8").split("\t")[-1].replace("\n", "")
+        visqol = float(value)
+    except Exception as e:  # noqa: BLE001 - reference swallows everything
+        logger.info(f"failed to get visqol of {filename}: {e}")
+        return 0.0
+    else:
+        os.remove(tmp_reference)
+        os.remove(tmp_estimation)
+        return visqol
+
+
+def run_metrics(clean: np.ndarray, estimate: np.ndarray, args, filename: str):
+    """clean/estimate: [B, 1, T] (or [1, T]). Returns (lsd, visqol)."""
+    hr_sr = args.experiment.hr_sr if "experiment" in args else args.hr_sr
+    exp = args.get("experiment", args)
+    speech_mode = bool(exp.get("speech_mode", True))
+    clean = np.asarray(clean)
+    estimate = np.asarray(estimate)
+    if clean.ndim == 3:
+        clean = clean[:, 0, :]
+    if estimate.ndim == 3:
+        estimate = estimate[:, 0, :]
+
+    lsd = get_lsd(clean, estimate)
+    calc_visqol = bool(args.get("visqol")) and args.get("visqol_path")
+    visqol = get_visqol(clean, estimate, filename, int(hr_sr), speech_mode,
+                        str(args.visqol_path)) if calc_visqol else 0.0
+    return lsd, visqol

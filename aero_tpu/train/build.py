@@ -51,3 +51,24 @@ def init_variables(args, models, rng, lr_shape, hr_shape):
 
 def build_models(args):
     return factory.get_model(args)
+
+
+def load_generator_state(args, models):
+    """Init a TrainState and load the generator from ``checkpoint_file``
+    (ours .atpu or reference .th) — the test.py/predict.py contract
+    (/root/reference/test.py:26-40)."""
+    import jax as _jax
+
+    from aero_tpu.train import checkpoint as ckpt
+    from aero_tpu.train.train_step import init_state
+
+    lr_shape, hr_shape = segment_shapes(args)
+    rng = _jax.random.PRNGKey(int(args.seed))
+    variables = init_variables(args, models, rng, lr_shape, hr_shape)
+    state = init_state(args, models, variables, rng)
+
+    gen_template = {"params": state.gen_params, **state.gen_state}
+    loaded = dict(ckpt.load_generator_variables(
+        str(args.checkpoint_file), gen_template,
+        load_best=bool(args.get("continue_best", False))))
+    return state.replace(gen_params=loaded.pop("params"), gen_state=loaded)

@@ -1,0 +1,417 @@
+"""Training engine: the epoch loop (Solver).
+
+Mirrors the reference Solver's contract (``/root/reference/src/solver.py:42-274``):
+per-epoch train pass, optional cross-validation, best-state tracking on
+valid loss, scheduled test-set evaluate+enhance, per-epoch checkpoint +
+``history.json``, resume with history replay. The per-batch math lives
+in the jitted ``train_step`` (gen + disc updates fused); this class is
+pure host-side orchestration.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aero_tpu.data.datasets import PrHrSet, match_signal
+from aero_tpu.data.loader import Loader
+from aero_tpu.eval.enhance import save_specs, save_wavs
+from aero_tpu.eval.evaluate import evaluate, evaluate_on_saved_data
+from aero_tpu.eval.forward import EvalForward
+from aero_tpu.parallel import mesh as pmesh
+from aero_tpu.train import checkpoint as ckpt
+from aero_tpu.train.train_step import (
+    LossComputer, make_train_step, make_valid_step,
+)
+from aero_tpu.utils.config import to_plain
+from aero_tpu.utils.log import LogProgress, bold, pull_metric
+from aero_tpu.utils import wandb_logger
+
+logger = logging.getLogger(__name__)
+
+GENERATOR_KEY = "generator"
+METRICS_KEY_EVALUATION_LOSS = "evaluation_loss"
+METRICS_KEY_BEST_LOSS = "best_loss"
+METRICS_KEY_LSD = "Average lsd"
+METRICS_KEY_VISQOL = "Average visqol"
+
+
+class Solver:
+    def __init__(self, data, models, state, args, mesh=None):
+        self.tr_loader = data["tr_loader"]
+        self.cv_loader = data["cv_loader"]
+        self.tt_loader = data["tt_loader"]
+        self.args = args
+        self.models = models
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.state = pmesh.replicate(state, self.mesh)
+
+        exp = args.experiment
+        self.adversarial_mode = bool(exp.get("adversarial", False))
+
+        self.device_count = len(self.mesh.devices.reshape(-1))
+        self.train_step = make_train_step(args, models, self.mesh)
+        self.valid_loss_fn = self._make_loss_only()
+
+        scale = (float(exp.hr_sr) / float(exp.lr_sr)
+                 if not exp.get("upsample", False) else 1.0)
+        lr_sr = int(exp.hr_sr if exp.get("upsample", False) else exp.lr_sr)
+        return_spec = exp.model == "aero"
+        self.eval_forward = EvalForward(
+            models["generator"], self.state, scale=scale, lr_sr=lr_sr,
+            bucket_s=float(args.get("eval_bucket_s", 1.0)),
+            return_spec=return_spec)
+
+        self.epochs = int(args.epochs)
+        self.eval_every = int(args.eval_every)
+        self.cross_valid = bool(args.cross_valid)
+        self.cross_valid_every = int(args.cross_valid_every)
+        self.checkpoint = bool(args.checkpoint)
+        self.checkpoint_file = str(args.checkpoint_file)
+        self.continue_from = args.get("continue_from") or ""
+        self.restart = bool(args.get("restart", False))
+        self.history_file = str(args.history_file)
+        self.samples_dir = str(args.samples_dir)
+        self.num_prints = int(args.num_prints)
+
+        self.history: list = []
+        self.best_states = None
+        self._reset()
+
+    # ------------------------------------------------------------------
+    def _make_loss_only(self):
+        """Jitted loss-only computation for full-length validation
+        (reference runs valid losses on full files, solver.py:353-425).
+        jax.jit caches one executable per input length."""
+        lc = LossComputer(self.args, self.models)
+
+        @jax.jit
+        def loss_fn(state, pr, hr):
+            gen_losses = lc.generator_losses(pr, hr, state.disc_params,
+                                             state.disc_state, train=False)
+            metrics = {f"generator_{k}": v for k, v in gen_losses.items()}
+            if lc.adversarial and state.disc_params:
+                disc_losses, _ = lc.discriminator_losses(
+                    pr, hr, state.disc_params, state.disc_state, train=False)
+                metrics.update({f"discriminator_{k}": v
+                                for k, v in disc_losses.items()})
+            metrics["total"] = sum(gen_losses.values())
+            return metrics
+
+        return loss_fn
+
+    def _copy_models_states(self):
+        host = jax.device_get(self.state)
+        states = {GENERATOR_KEY: {"params": host.gen_params, **host.gen_state}}
+        for name in host.disc_params:
+            states[name] = {"params": host.disc_params[name],
+                            **host.disc_state.get(name, {})}
+        return states
+
+    def _reset(self):
+        load_from = None
+        load_best = False
+        keep_history = True
+        if self.checkpoint and os.path.exists(self.checkpoint_file) \
+                and not self.restart:
+            load_from = self.checkpoint_file
+        elif self.continue_from:
+            load_from = self.continue_from
+            load_best = bool(self.args.get("continue_best", False))
+            keep_history = bool(self.args.get("keep_history", True))
+
+        if load_from:
+            logger.info(f"Loading checkpoint model: {load_from}")
+            if str(load_from).endswith(".th"):
+                self._load_torch(load_from, load_best)
+            else:
+                package = ckpt.load_package(load_from)
+                host = jax.device_get(self.state)
+                host = ckpt.state_from_package(package, host)
+                self.state = pmesh.replicate(host, self.mesh)
+                if keep_history:
+                    self.history = ckpt.history_from_package(package)
+                self.best_states = ckpt.best_states_from_package(package)
+            self.eval_forward.update_state(self.state)
+
+    def _load_torch(self, path, load_best):
+        from aero_tpu.train import torch_import
+
+        pkg = torch_import.load_torch_checkpoint(path)
+        src = pkg["best_states"] if load_best and pkg["best_states"] \
+            else pkg["models"]
+        host = jax.device_get(self.state)
+        gen_vars = torch_import.import_aero_state(
+            src["generator"],
+            {"params": host.gen_params, **host.gen_state})
+        gen_vars = dict(gen_vars)
+        host = host.replace(gen_params=gen_vars.pop("params"),
+                            gen_state=gen_vars)
+        self.state = pmesh.replicate(host, self.mesh)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        if self.history:
+            logger.info("Replaying metrics from previous run")
+        for epoch, metrics in enumerate(self.history):
+            info = " ".join(f"{k.capitalize()}={v:.5f}"
+                            for k, v in metrics.items())
+            logger.info(f"Epoch {epoch + 1}: {info}")
+
+        logger.info("-" * 70)
+        logger.info("Trainable Params:")
+        host = jax.device_get(self.state)
+        n_gen = sum(int(np.prod(p.shape))
+                    for p in jax.tree.leaves(host.gen_params))
+        logger.info(f"generator: parameters: {n_gen}, "
+                    f"size: {n_gen * 4 / 2 ** 20:.2f} MB")
+        for name, p in host.disc_params.items():
+            n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(p))
+            logger.info(f"{name}: parameters: {n}, "
+                        f"size: {n * 4 / 2 ** 20:.2f} MB")
+
+        best_loss = None
+        if self.best_states is None:
+            self.best_states = {}
+
+        for epoch in range(len(self.history), self.epochs):
+            start = time.time()
+            logger.info("-" * 70)
+            logger.info("Training...")
+            losses = self._run_one_epoch(epoch)
+            logger.info(bold(
+                f"Train Summary | End of Epoch {epoch + 1} | "
+                f"Time {time.time() - start:.2f}s | "
+                + " | ".join(f"{k} Loss {v:.5f}" for k, v in losses.items())))
+            losses = {k + "_loss": v for k, v in losses.items()}
+            valid_losses = {}
+            evaluation_loss = None
+            evaluated_on_test = False
+            enhanced_filenames = None
+
+            if self.cross_valid and (
+                    (epoch + 1) % self.cross_valid_every == 0
+                    or epoch == self.epochs - 1) and self.cv_loader:
+                cv_start = time.time()
+                logger.info("-" * 70)
+                logger.info("Cross validation...")
+                if self.args.get("valid_equals_test") and self.tt_loader:
+                    enhance_now = ((epoch + 1) % self.eval_every == 0
+                                   or epoch == self.epochs - 1)
+                    valid_losses, enhanced_filenames = \
+                        self._valid_on_test_data(epoch, enhance=enhance_now)
+                    evaluated_on_test = enhance_now
+                else:
+                    valid_losses = self._valid_epoch(self.cv_loader, epoch)
+                evaluation_loss = valid_losses["evaluation"]
+                logger.info(bold(
+                    f"Validation Summary | End of Epoch {epoch + 1} | "
+                    f"Time {time.time() - cv_start:.2f}s | "
+                    + " | ".join(f"{k} Valid Loss {v:.5f}"
+                                 for k, v in valid_losses.items())))
+                valid_losses = {"valid_" + k + "_loss": v
+                                for k, v in valid_losses.items()}
+
+                best_loss = min(pull_metric(self.history,
+                                            "valid_evaluation_loss")
+                                + [evaluation_loss])
+                if evaluation_loss == best_loss:
+                    logger.info(bold(
+                        f"New best valid loss {evaluation_loss:.4f}"))
+                    self.best_states = self._copy_models_states()
+
+            metrics = {**losses, **valid_losses}
+            if evaluation_loss:
+                metrics[METRICS_KEY_EVALUATION_LOSS] = evaluation_loss
+            if best_loss:
+                metrics[METRICS_KEY_BEST_LOSS] = best_loss
+
+            if ((epoch + 1) % self.eval_every == 0
+                    or epoch == self.epochs - 1) and self.tt_loader:
+                logger.info("-" * 70)
+                logger.info("Evaluating on the test set...")
+                eval_state = self.state
+                swapped = False
+                if self.args.get("evaluate_on_best") and self.best_states:
+                    logger.info("Loading best state.")
+                    eval_state = self._state_with(self.best_states)
+                    swapped = True
+                else:
+                    logger.info("Using last state.")
+                self.eval_forward.update_state(eval_state)
+                eval_start = time.time()
+
+                if evaluated_on_test and enhanced_filenames:
+                    enhanced = PrHrSet(self.samples_dir, enhanced_filenames)
+                    dl = Loader(enhanced, batch_size=1, shuffle=False,
+                                num_workers=0)
+                    lsd, visqol = evaluate_on_saved_data(self.args, enhanced,
+                                                         epoch)
+                else:
+                    lsd, visqol, enhanced_filenames = evaluate(
+                        self.args, self.tt_loader, epoch, self.eval_forward,
+                        spec_fns=self._spec_fns())
+                logger.info(bold(
+                    f"Evaluation Time {time.time() - eval_start:.2f}s"))
+                metrics[METRICS_KEY_LSD] = lsd
+                metrics[METRICS_KEY_VISQOL] = visqol
+                if swapped:
+                    self.eval_forward.update_state(self.state)
+
+            wandb_logger.log_metrics(metrics, step=epoch)
+            self.history.append(metrics)
+            info = " | ".join(f"{k.capitalize()} {v:.5f}"
+                              for k, v in metrics.items())
+            logger.info("-" * 70)
+            logger.info(bold(f"Overall Summary | Epoch {epoch + 1} | {info}"))
+
+            if jax.process_index() == 0:
+                with open(self.history_file, "w") as f:
+                    json.dump(self.history, f, indent=2)
+                if self.checkpoint:
+                    self._serialize()
+        return self.history
+
+    # ------------------------------------------------------------------
+    def _state_with(self, model_states):
+        host = jax.device_get(self.state)
+        gen = dict(model_states[GENERATOR_KEY])
+        host = host.replace(gen_params=gen.pop("params"), gen_state=gen)
+        return pmesh.replicate(host, self.mesh)
+
+    def _spec_fns(self):
+        exp = self.args.experiment
+        from aero_tpu.ops.spec import spectro
+
+        if exp.model == "aero":
+            gen = self.models["generator"]
+
+            @jax.jit
+            def hr_spec(hr):
+                return gen._spec(jnp.asarray(hr), scale=True)
+
+            return {"hr_spec": lambda hr: np.asarray(hr_spec(hr))}
+
+        nfft = int(exp.nfft)
+
+        @jax.jit
+        def spec(x):
+            return spectro(jnp.asarray(x), nfft, win_length=nfft // 4)
+
+        return {"spec": lambda x: np.asarray(spec(x))}
+
+    def _run_one_epoch(self, epoch):
+        total_losses = {}
+        total_loss = 0.0
+        self.tr_loader.set_epoch(epoch)
+        name = f"Train | Epoch {epoch + 1}"
+        logprog = LogProgress(logger, self.tr_loader, updates=self.num_prints,
+                              name=name)
+
+        i = -1
+        for i, (lr, hr) in enumerate(logprog):
+            lr = pmesh.shard_batch(jnp.asarray(lr), self.mesh)
+            hr = pmesh.shard_batch(jnp.asarray(hr), self.mesh)
+            self.state, metrics = self.train_step(self.state, lr, hr)
+            metrics = jax.device_get(metrics)
+            total_loss += float(metrics["total"])
+            for k, v in metrics.items():
+                if k == "total":
+                    continue
+                total_losses[k] = total_losses.get(k, 0.0) + float(v)
+            logprog.update(total_loss=format(total_loss / (i + 1), ".5f"))
+
+        n = i + 1 if i >= 0 else 1
+        avg = {"total": total_loss / n, "evaluation": total_loss / n}
+        avg.update({k: v / n for k, v in total_losses.items()})
+        self.eval_forward.update_state(self.state)
+        return avg
+
+    def _valid_epoch(self, loader, epoch):
+        """Full-file validation losses via bucketed forward."""
+        total_losses = {}
+        total_loss = 0.0
+        logprog = LogProgress(logger, loader, updates=self.num_prints,
+                              name=f"Valid | Epoch {epoch + 1}")
+        i = -1
+        for i, (lr, hr) in enumerate(logprog):
+            out = self.eval_forward(lr)
+            pr = out[0] if isinstance(out, tuple) else out
+            pr = match_signal(pr, hr.shape[-1])
+            metrics = jax.device_get(self.valid_loss_fn(
+                self.state, jnp.asarray(pr), jnp.asarray(hr)))
+            total_loss += float(metrics["total"])
+            for k, v in metrics.items():
+                if k != "total":
+                    total_losses[k] = total_losses.get(k, 0.0) + float(v)
+            logprog.update(total_loss=format(total_loss / (i + 1), ".5f"))
+        n = i + 1 if i >= 0 else 1
+        avg = {"total": total_loss / n, "evaluation": total_loss / n}
+        avg.update({k: v / n for k, v in total_losses.items()})
+        return avg
+
+    def _valid_on_test_data(self, epoch, enhance):
+        """Valid losses on the test loader, optionally saving enhanced
+        artifacts along the way (reference solver.py:353-425)."""
+        total_losses = {}
+        total_loss = 0.0
+        total_filenames = []
+        logprog = LogProgress(logger, self.tt_loader,
+                              updates=self.num_prints,
+                              name=f"Valid | Epoch {epoch + 1}")
+        exp = self.args.experiment
+        i = -1
+        for i, data in enumerate(logprog):
+            (lr, lr_paths), (hr, hr_paths) = data
+            filename = os.path.splitext(os.path.basename(hr_paths[0]))[0]
+            total_filenames.append(filename)
+
+            if self.eval_forward.return_spec:
+                pr, pr_spec, lr_spec = self.eval_forward(lr)
+                hr_spec = self._spec_fns()["hr_spec"](hr)
+            else:
+                pr = self.eval_forward(lr)
+                pr_spec = lr_spec = hr_spec = None
+            pr = match_signal(pr, hr.shape[-1])
+
+            if enhance:
+                os.makedirs(self.samples_dir, exist_ok=True)
+                lr_sr = exp.hr_sr if exp.get("upsample") else exp.lr_sr
+                save_wavs(pr, lr, hr,
+                          [os.path.join(self.samples_dir, filename)],
+                          lr_sr, exp.hr_sr)
+                if pr_spec is not None:
+                    save_specs(lr_spec[0], pr_spec[0], hr_spec[0],
+                               os.path.join(self.samples_dir, filename))
+
+            metrics = jax.device_get(self.valid_loss_fn(
+                self.state, jnp.asarray(pr), jnp.asarray(hr)))
+            total_loss += float(metrics["total"])
+            for k, v in metrics.items():
+                if k != "total":
+                    total_losses[k] = total_losses.get(k, 0.0) + float(v)
+            logprog.update(total_loss=format(total_loss / (i + 1), ".5f"))
+
+        n = i + 1 if i >= 0 else 1
+        avg = {"total": total_loss / n, "evaluation": total_loss / n}
+        avg.update({k: v / n for k, v in total_losses.items()})
+        return avg, (total_filenames if enhance else None)
+
+    def _serialize(self):
+        host = jax.device_get(self.state)
+        pkg = ckpt.package_from_state(host, self.history, self.best_states,
+                                      to_plain(self.args))
+        ckpt.save_package(self.checkpoint_file, pkg)
+        # per-model best file (model_serializer.py:56-63)
+        if self.best_states:
+            best_file = str(self.args.get("best_file", "best.atpu"))
+            ckpt.save_package(best_file, {
+                "models": self.best_states,
+                "args": json.dumps(to_plain(self.args))})
+        logger.debug(f"Checkpoint saved to {self.checkpoint_file}")

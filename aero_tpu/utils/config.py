@@ -163,7 +163,23 @@ def load_config(config_dir: str, config_name: str = "main_config",
             _set_path(tree, key, _parse_value(value), create=False)
 
     tree = _resolve_interpolations(tree)
+    tree = _coerce_numbers(tree)
     return Config._wrap(tree)
+
+
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_numbers(tree):
+    """YAML 1.1 parses '1e-3' as a string; coerce such literals to float
+    (Hydra/OmegaConf does this via typed configs)."""
+    if isinstance(tree, dict):
+        return {k: _coerce_numbers(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_coerce_numbers(v) for v in tree]
+    if isinstance(tree, str) and _SCI_FLOAT.match(tree):
+        return float(tree)
+    return tree
 
 
 def run_dir_for(args: Config) -> str:

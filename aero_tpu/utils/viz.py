@@ -1,0 +1,40 @@
+"""Spectrogram heatmap PNGs (reference src/utils.py:133-156, cv2 INFERNO;
+here matplotlib's inferno LUT + PIL, no OpenCV needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def scale_minmax(x, lo=0.0, hi=1.0):
+    x = np.array(x, dtype=np.float64, copy=True)
+    x[x == np.inf] = 1e9
+    x[x == -np.inf] = 1e-9
+    x[np.isnan(x)] = 1e-9
+    rng = x.max() - x.min()
+    std = (x - x.min()) / (rng if rng else 1.0)
+    return std * (hi - lo) + lo
+
+
+def _inferno_lut():
+    from matplotlib import cm
+
+    return (np.asarray(cm.get_cmap("inferno")(np.linspace(0, 1, 256)))[:, :3]
+            * 255).astype(np.uint8)
+
+
+def convert_spectrogram_to_heatmap(spectrogram: np.ndarray) -> np.ndarray:
+    """log-power spectrogram [F, T] -> RGB uint8 heatmap (freq axis flipped,
+    matching reference utils.py:148-156)."""
+    spec = np.asarray(spectrogram, dtype=np.float64) + 1e-9
+    spec = scale_minmax(spec, 0, 255).astype(np.uint8).squeeze()
+    spec = np.flip(spec, axis=0)
+    spec = 255 - spec
+    lut = _inferno_lut()
+    return lut[spec]
+
+
+def save_heatmap_png(spectrogram: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    Image.fromarray(convert_spectrogram_to_heatmap(spectrogram)).save(path)

@@ -16,3 +16,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("AERO_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: repeat test runs skip XLA recompiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

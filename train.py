@@ -1,0 +1,119 @@
+"""Train CLI — same surface as the reference (``python train.py dset=4-16
+experiment=aero_4-16_512_64 ...``), reference /root/reference/train.py.
+
+Process model: JAX runtime (one process per host as provided by the TPU
+runtime) instead of the reference's subprocess-per-GPU DDP launcher;
+the batch is split across processes exactly like train.py:50-51.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import sys
+
+import jax
+import numpy as np
+
+from aero_tpu.data.datasets import LrHrSet
+from aero_tpu.data.loader import Loader
+from aero_tpu.parallel import mesh as pmesh
+from aero_tpu.train import build
+from aero_tpu.train.solver import Solver
+from aero_tpu.train.train_step import init_state
+from aero_tpu.utils.config import load_config, run_dir_for
+from aero_tpu.utils.log import setup_logging
+from aero_tpu.utils import wandb_logger
+
+logger = logging.getLogger(__name__)
+
+CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+
+
+def run(args):
+    rank = jax.process_index()
+    world_size = jax.process_count()
+
+    wandb_logger.init_wandb_run(args, rank, world_size)
+
+    if rank == 0:
+        if os.path.exists(args.samples_dir):
+            shutil.rmtree(args.samples_dir)
+        os.makedirs(args.samples_dir)
+
+    models = build.build_models(args)
+
+    if args.show:
+        for name, model in models.items():
+            logger.info(f"{name}: {model}")
+        return
+
+    assert args.experiment.batch_size % world_size == 0
+    args.experiment.batch_size //= world_size
+
+    exp = args.experiment
+    tr_dataset = LrHrSet(args.dset.train, exp.lr_sr, exp.hr_sr,
+                         exp.stride, exp.segment,
+                         upsample=exp.get("upsample", False))
+    tr_loader = Loader(tr_dataset, batch_size=exp.batch_size, shuffle=True,
+                       seed=int(args.seed), drop_last=bool(args.drop_last),
+                       rank=rank, world_size=world_size,
+                       num_workers=int(args.num_workers))
+
+    if args.dset.get("valid"):
+        args.valid_equals_test = args.dset.valid == args.dset.test
+        cv_dataset = LrHrSet(args.dset.valid, exp.lr_sr, exp.hr_sr,
+                             stride=None, segment=None,
+                             upsample=exp.get("upsample", False))
+        cv_loader = Loader(cv_dataset, batch_size=1, shuffle=False,
+                           rank=rank, world_size=world_size, num_workers=1)
+    else:
+        cv_loader = None
+
+    if args.dset.get("test"):
+        tt_dataset = LrHrSet(args.dset.test, exp.lr_sr, exp.hr_sr,
+                             stride=None, segment=None, with_path=True,
+                             upsample=exp.get("upsample", False))
+        tt_loader = Loader(tt_dataset, batch_size=1, shuffle=False,
+                           rank=rank, world_size=world_size, num_workers=1)
+    else:
+        tt_loader = None
+
+    data = {"tr_loader": tr_loader, "cv_loader": cv_loader,
+            "tt_loader": tt_loader}
+
+    lr_shape, hr_shape = build.segment_shapes(args)
+    rng = jax.random.PRNGKey(int(args.seed))
+    init_rng, state_rng = jax.random.split(rng)
+    variables = build.init_variables(args, models, init_rng, lr_shape,
+                                     hr_shape)
+    state = init_state(args, models, variables, state_rng)
+
+    mesh = pmesh.make_mesh()
+    solver = Solver(data, models, state, args, mesh)
+    solver.train()
+    wandb_logger.finish()
+
+
+def main():
+    args = load_config(CONF_DIR, "main_config", sys.argv[1:])
+    # absolutize dset paths before the hydra-style chdir
+    # (reference train.py:111-113)
+    for key, value in list(args.dset.items()):
+        if isinstance(value, str) and key != "name":
+            args.dset[key] = os.path.abspath(value)
+    run_dir = run_dir_for(args)
+    os.makedirs(run_dir, exist_ok=True)
+    os.chdir(run_dir)  # hydra-chdir semantics: checkpoints land here
+    setup_logging(bool(args.verbose), log_file="trainer.log")
+    logger.info(f"For logs, checkpoints and samples check {os.getcwd()}")
+    try:
+        run(args)
+    except Exception:
+        logger.exception("Some error happened")
+        os._exit(1)
+
+
+if __name__ == "__main__":
+    main()
