@@ -36,14 +36,15 @@ def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
-    """Device_put a host batch (pytree of [B, ...] arrays) split on dp."""
-    sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Device_put a host batch (pytree of [B, ...] arrays) split on dp.
+
+    One device_put over the whole tree: transfers are batched, which
+    matters hugely on remote-tunneled runtimes."""
+    return jax.device_put(batch, batch_sharding(mesh, axis_name))
 
 
 def replicate(tree, mesh: Mesh):
-    sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.device_put(tree, replicated(mesh))
 
 
 def pad_batch_to(batch, size: int):

@@ -33,7 +33,10 @@ def init_variables(args, models, rng, lr_shape, hr_shape):
     rngs = jax.random.split(rng, len(models))
     for r, (name, model) in zip(rngs, models.items()):
         if name == "generator":
-            v = model.init(r, jnp.zeros(lr_shape), train=False)
+            # jitted init: one compile instead of thousands of eager
+            # op dispatches (which crawl on remote-tunneled devices)
+            v = jax.jit(lambda key, x, m=model: m.init(key, x, train=False)
+                        )(r, jnp.zeros(lr_shape))
             v = jax.tree_util.tree_map(lambda x: x, dict(v))
             if exp.model == "aero" and float(exp.aero.get("rescale", 0) or 0):
                 v["params"] = rescale_tree(v["params"],
@@ -42,9 +45,10 @@ def init_variables(args, models, rng, lr_shape, hr_shape):
         else:
             x = jnp.zeros((hr_shape[0], hr_shape[2], 1))  # [B, T, C]
             if name in ("msd_hifi", "mpd"):
-                v = model.init(r, x, x, train=False)
+                v = jax.jit(lambda key, y, m=model: m.init(key, y, y,
+                                                           train=False))(r, x)
             else:
-                v = model.init(r, x)
+                v = jax.jit(lambda key, y, m=model: m.init(key, y))(r, x)
             variables[name] = dict(v)
     return variables
 

@@ -1,0 +1,28 @@
+"""Backend platform selection for CLIs.
+
+This image's sitecustomize hook initializes JAX's platform list to
+``axon,cpu`` at interpreter startup, overriding ``JAX_PLATFORMS`` from
+the environment. CLIs call :func:`select_platform_from_env` first thing
+so tests/CI can force CPU via ``AERO_PLATFORM=cpu`` (optionally with
+``AERO_NUM_CPU_DEVICES=8`` for a virtual mesh).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def select_platform_from_env() -> None:
+    plat = os.environ.get("AERO_PLATFORM")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+        n = os.environ.get("AERO_NUM_CPU_DEVICES")
+        if n:
+            jax.config.update("jax_num_cpu_devices", int(n))
+    except RuntimeError:
+        # backends already initialized; too late to switch
+        pass

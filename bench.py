@@ -12,6 +12,10 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+from aero_tpu.utils.platform import select_platform_from_env
+
+select_platform_from_env()
+
 import json
 import sys
 import time
@@ -43,7 +47,8 @@ def main():
         0.1 * np.random.default_rng(0).standard_normal((1, 1, chunk)),
         dtype=jnp.float32)
 
-    variables = gen.init(jax.random.PRNGKey(0), x[:, :, :lr_sr], train=False)
+    variables = jax.jit(lambda k, y: gen.init(k, y, train=False))(
+        jax.random.PRNGKey(0), x[:, :, :lr_sr])
 
     @jax.jit
     def forward(variables, lr):
@@ -55,6 +60,11 @@ def main():
     for _ in range(WARMUP):
         forward(variables, x).block_until_ready()
 
+    # Per-call blocking: the conservative, verifiable measure. (Enqueue-
+    # pipelined timing through the remote tunnel reports impossibly fast
+    # times — above the chip's bandwidth roofline — so it can't be
+    # trusted; per-call blocking includes tunnel latency and therefore
+    # UNDERSTATES on-chip throughput.)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         forward(variables, x).block_until_ready()

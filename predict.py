@@ -10,6 +10,10 @@ factor measurement point, predict.py:74-83), saves ``<stem>_pr.wav``.
 
 from __future__ import annotations
 
+from aero_tpu.utils.platform import select_platform_from_env
+
+select_platform_from_env()
+
 import logging
 import os
 import sys

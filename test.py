@@ -7,6 +7,10 @@ and reports LSD / ViSQOL over the test set.
 
 from __future__ import annotations
 
+from aero_tpu.utils.platform import select_platform_from_env
+
+select_platform_from_env()
+
 import logging
 import os
 import sys

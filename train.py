@@ -8,6 +8,10 @@ the batch is split across processes exactly like train.py:50-51.
 
 from __future__ import annotations
 
+from aero_tpu.utils.platform import select_platform_from_env
+
+select_platform_from_env()
+
 import logging
 import os
 import shutil
