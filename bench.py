@@ -60,15 +60,18 @@ def main():
     for _ in range(WARMUP):
         forward(variables, x).block_until_ready()
 
-    # Per-call blocking: the conservative, verifiable measure. (Enqueue-
-    # pipelined timing through the remote tunnel reports impossibly fast
-    # times — above the chip's bandwidth roofline — so it can't be
-    # trusted; per-call blocking includes tunnel latency and therefore
-    # UNDERSTATES on-chip throughput.)
+    # Distinct inputs + forced scalar fetch per call: the only timing the
+    # remote tunnel cannot fake (block_until_ready through the relay has
+    # been observed returning before execution). Includes tunnel latency,
+    # so this UNDERSTATES on-chip throughput.
+    xs = [x * (1.0 + 0.01 * i) for i in range(ITERS)]
+    jax.block_until_ready(xs)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        forward(variables, x).block_until_ready()
+    acc = 0.0
+    for i in range(ITERS):
+        acc += float(jnp.sum(forward(variables, xs[i])))
     dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(acc)
 
     rtf = CHUNK_SEC / dt
     print(json.dumps({
