@@ -316,17 +316,43 @@ class BLSTM(nn.Module):
         return x
 
 
+def _attend_block(keys, content, queries_b, decay_w_b, s_idx_b, t):
+    """Attention for one query block.
+
+    keys/content: [B, T, H, C]; queries_b: [B, Q, H, C] (pre-scaled);
+    decay_w_b: [B, Q, H] per-query decay weight; s_idx_b: [Q] global
+    query positions. Returns [B, Q, H, C].
+    """
+    scores = jnp.einsum("bthc,bshc->bhts", keys, queries_b)
+    t_idx = jnp.arange(t, dtype=scores.dtype)
+    delta = jnp.abs(t_idx[:, None] - s_idx_b[None, :].astype(scores.dtype))
+    # decay bias is rank-1 in (t, s): -|t-s| * w[b,h,s]
+    scores = scores - delta[None, None] * decay_w_b.transpose(0, 2, 1)[:, :, None, :]
+    # kill self reference (reference masked_fill with -100, modules.py:120)
+    self_mask = t_idx[:, None] == s_idx_b[None, :].astype(scores.dtype)
+    scores = jnp.where(self_mask[None, None], -100.0, scores)
+    weights = jax.nn.softmax(scores, axis=2)  # over keys t
+    return jnp.einsum("bhts,bthc->bshc", weights, content)
+
+
 class LocalState(nn.Module):
     """Content-based local attention with learned distance-decay penalties
     and self-reference masking (src/models/modules.py:68-127).
 
-    Input/output [B, T, C]. O(T^2) einsums — MXU-friendly; a Pallas
-    banded kernel can swap in behind the same interface for long T.
+    Input/output [B, T, C]. TPU-first re-derivation: the reference builds
+    a [ndecay, T, T] decay kernel and contracts it with the decay queries
+    (modules.py:112-117) — but that contraction is exactly
+    ``-|t-s| * sum_f f * decay_q[b,h,f,s] / sqrt(ndecay)``, i.e. RANK-1
+    in (t, s), so we fold it into a per-query scalar and never build the
+    cubic tensor. For long sequences the T x T score matrix itself is
+    computed blockwise over queries (a ``lax.scan``), bounding peak
+    memory at B*H*T*block instead of B*H*T*T.
     """
 
     channels: int
     heads: int = 4
     ndecay: int = 4
+    block_q: int = 256  # blockwise path kicks in for T > 2 * block_q
 
     @nn.compact
     def __call__(self, x):
@@ -337,23 +363,43 @@ class LocalState(nn.Module):
         content = Conv1d(c, 1, name="content")(x).reshape(b, t, heads, ch)
         queries = Conv1d(c, 1, name="query")(x).reshape(b, t, heads, ch)
         keys = Conv1d(c, 1, name="key")(x).reshape(b, t, heads, ch)
-
-        # dots[b, h, t(key), s(query)]
-        dots = jnp.einsum("bthc,bshc->bhts", keys, queries) / math.sqrt(ch)
+        queries = queries / math.sqrt(ch)
 
         if self.ndecay:
             decay_q = Conv1d(heads * self.ndecay, 1, name="query_decay")(x)
-            decay_q = jax.nn.sigmoid(decay_q.reshape(b, t, heads, self.ndecay)) / 2
-            idx = jnp.arange(t, dtype=x.dtype)
-            delta = jnp.abs(idx[:, None] - idx[None, :])  # [t, s]
+            decay_q = jax.nn.sigmoid(
+                decay_q.reshape(b, t, heads, self.ndecay)) / 2
             decays = jnp.arange(1, self.ndecay + 1, dtype=x.dtype)
-            decay_kernel = -decays[:, None, None] * delta[None] / math.sqrt(self.ndecay)
-            dots = dots + jnp.einsum("fts,bshf->bhts", decay_kernel, decay_q)
+            decay_w = jnp.einsum("bshf,f->bsh", decay_q,
+                                 decays) / math.sqrt(self.ndecay)
+        else:
+            decay_w = jnp.zeros((b, t, heads), x.dtype)
 
-        dots = jnp.where(jnp.eye(t, dtype=bool)[None, None], -100.0, dots)
-        weights = jax.nn.softmax(dots, axis=2)  # over keys t
+        if t <= 2 * self.block_q:
+            result = _attend_block(keys, content, queries, decay_w,
+                                   jnp.arange(t), t)
+        else:
+            bq = self.block_q
+            n_blocks = -(-t // bq)
+            pad = n_blocks * bq - t
+            q_p = jnp.pad(queries, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            w_p = jnp.pad(decay_w, ((0, 0), (0, pad), (0, 0)))
+            q_blocks = q_p.reshape(b, n_blocks, bq, heads, ch).transpose(
+                1, 0, 2, 3, 4)
+            w_blocks = w_p.reshape(b, n_blocks, bq, heads).transpose(
+                1, 0, 2, 3)
+            s_blocks = (jnp.arange(n_blocks * bq).reshape(n_blocks, bq))
 
-        result = jnp.einsum("bhts,bthc->bshc", weights, content).reshape(b, t, c)
+            def body(_, args):
+                qb, wb, sb = args
+                return None, _attend_block(keys, content, qb, wb, sb, t)
+
+            _, out = jax.lax.scan(body, None, (q_blocks, w_blocks, s_blocks))
+            # [n_blocks, B, bq, H, C] -> [B, T, H, C]
+            result = out.transpose(1, 0, 2, 3, 4).reshape(
+                b, n_blocks * bq, heads, ch)[:, :t]
+
+        result = result.reshape(b, t, c)
         return x + Conv1d(c, 1, name="proj")(result)
 
 

@@ -1,0 +1,120 @@
+"""Unit tests for building blocks: blockwise attention == dense attention,
+BLSTM chunk stitching, unfold parity, conv-transpose output sizes."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.models.modules import (
+    BLSTM, Conv1d, ConvTranspose1d, LocalState, unfold_time,
+)
+
+
+def test_local_state_blockwise_matches_dense():
+    """T above the block threshold must give identical results to the
+    dense path (same params, same math)."""
+    c, heads, t = 8, 4, 600
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+
+    dense = LocalState(c, heads=heads, block_q=1024)   # dense path (T <= 2*bq)
+    blocked = LocalState(c, heads=heads, block_q=128)  # blockwise path
+
+    v = dense.init(jax.random.PRNGKey(0), x)
+    y_dense = dense.apply(v, x)
+    y_block = blocked.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_block), np.asarray(y_dense),
+                               atol=2e-5)
+
+
+def test_local_state_matches_torch():
+    """Dense + analytic rank-1 decay vs the reference einsum formulation."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.models.modules import LocalState as TorchLocalState
+
+    torch.manual_seed(0)
+    c, t = 8, 100
+    tm = TorchLocalState(c, heads=4, nfreqs=0, ndecay=4)
+    tm.eval()
+    jm = LocalState(c, heads=4, ndecay=4)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, c, t)).astype(np.float32)
+    xj = jnp.asarray(np.swapaxes(x, 1, 2))
+
+    v = jm.init(jax.random.PRNGKey(0), xj)
+    params = jax.tree.map(np.asarray, dict(v))["params"]
+    sd = {k: v_.detach().numpy() for k, v_ in tm.state_dict().items()}
+    for name in ("content", "query", "key", "query_decay", "proj"):
+        params[name]["conv"]["kernel"] = np.transpose(sd[f"{name}.weight"],
+                                                      (2, 1, 0))
+        params[name]["conv"]["bias"] = sd[f"{name}.bias"]
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.swapaxes(np.asarray(jm.apply({"params": params}, xj)), 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_unfold_matches_torch_reference():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.utils import unfold as torch_unfold
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 501)).astype(np.float32)
+    want = torch_unfold(torch.from_numpy(x), 200, 100).numpy()  # [B,C,F,K]
+    got = np.asarray(unfold_time(
+        jnp.asarray(np.transpose(x, (0, 2, 1))), 200, 100))  # [B,F,K,C]
+    got = np.transpose(got, (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_blstm_chunking_matches_torch():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from src.models.modules import BLSTM as TorchBLSTM
+
+    torch.manual_seed(0)
+    dim, t = 4, 501  # > max_steps=200 -> chunked path
+    tm = TorchBLSTM(dim, layers=2, max_steps=200, skip=True)
+    tm.eval()
+    jm = BLSTM(dim, layers=2, max_steps=200, skip=True)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, dim, t)).astype(np.float32)
+    xj = jnp.asarray(np.swapaxes(x, 1, 2))
+    v = jm.init(jax.random.PRNGKey(0), xj)
+    params = jax.tree.map(np.asarray, dict(v))["params"]
+
+    sd = {k: v_.detach().numpy() for k, v_ in tm.state_dict().items()}
+    for layer in range(2):
+        for d, suffix in ((0, ""), (1, "_reverse")):
+            pref = f"l{layer}_d{d}"
+            params["lstm"][f"{pref}_w_ih"] = sd[f"lstm.weight_ih_l{layer}{suffix}"].T
+            params["lstm"][f"{pref}_w_hh"] = sd[f"lstm.weight_hh_l{layer}{suffix}"].T
+            params["lstm"][f"{pref}_b_ih"] = sd[f"lstm.bias_ih_l{layer}{suffix}"]
+            params["lstm"][f"{pref}_b_hh"] = sd[f"lstm.bias_hh_l{layer}{suffix}"]
+    params["linear"]["kernel"] = sd["linear.weight"].T
+    params["linear"]["bias"] = sd["linear.bias"]
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.swapaxes(np.asarray(jm.apply({"params": params}, xj)), 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_conv_transpose_output_size():
+    x = jnp.zeros((1, 10, 3))
+    m = ConvTranspose1d(4, kernel_size=8, stride=4, padding=2,
+                        output_padding=0)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    # torch: (in-1)*stride + kernel - 2*pad = 9*4 + 8 - 4 = 40
+    assert y.shape == (1, 40, 4)
