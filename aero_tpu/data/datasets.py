@@ -18,8 +18,20 @@ import typing as tp
 
 import numpy as np
 
-from aero_tpu.data import audio_io
+from aero_tpu.data import audio_io, native_io
 from aero_tpu.ops.resample import resample_np
+
+
+def _load_audio(path: str, offset: int, num_frames: int):
+    """Segment read through the native library when built (GIL-free
+    decode in loader threads), numpy codec otherwise."""
+    if native_io.available():
+        try:
+            return native_io.load(path, frame_offset=offset,
+                                  num_frames=num_frames)
+        except IOError:
+            pass
+    return audio_io.load(path, frame_offset=offset, num_frames=num_frames)
 
 
 def match_signal(signal: np.ndarray, ref_len: int) -> np.ndarray:
@@ -75,8 +87,7 @@ class Audioset:
             if self.length is not None:
                 offset = self.stride * index
                 num_frames = self.length
-            out, sr = audio_io.load(str(file), frame_offset=offset,
-                                    num_frames=num_frames)
+            out, sr = _load_audio(str(file), offset, num_frames)
             if self.sample_rate is not None and sr != self.sample_rate:
                 raise RuntimeError(
                     f"Expected {file} to have sample rate of "

@@ -103,7 +103,19 @@ def run_metrics(clean: np.ndarray, estimate: np.ndarray, args, filename: str):
         estimate = estimate[:, 0, :]
 
     lsd = get_lsd(clean, estimate)
-    calc_visqol = bool(args.get("visqol")) and args.get("visqol_path")
+    visqol_path = args.get("visqol_path") or default_visqol_path()
+    calc_visqol = bool(args.get("visqol")) and visqol_path
     visqol = get_visqol(clean, estimate, filename, int(hr_sr), speech_mode,
-                        str(args.visqol_path)) if calc_visqol else 0.0
+                        str(visqol_path)) if calc_visqol else 0.0
     return lsd, visqol
+
+
+def default_visqol_path() -> str | None:
+    """Our first-party ViSQOL-contract scorer (native/bazel-bin/visqol),
+    if built."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    native = os.path.join(root, "native")
+    if os.path.exists(os.path.join(native, "bazel-bin", "visqol")):
+        return native
+    return None

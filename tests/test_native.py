@@ -1,0 +1,120 @@
+"""Native component tests: build, WAV codec parity, resampler parity,
+ViSQOL-contract scorer behavior, audio tool CLI."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from aero_tpu.data import audio_io
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    proc = subprocess.run(["make", "-C", NATIVE], capture_output=True,
+                          text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_native_wav_matches_numpy(tmp_path):
+    from aero_tpu.data import native_io
+
+    assert native_io.available()
+    rng = np.random.default_rng(0)
+    x = (0.5 * rng.standard_normal((2, 5000))).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "x.wav")
+    audio_io.save(p, x, 16000)
+
+    sr, ch, frames = native_io.info(p)
+    assert (sr, ch, frames) == (16000, 2, 5000)
+
+    a, sr_a = native_io.load(p, frame_offset=100, num_frames=1000)
+    b, sr_b = audio_io.load(p, frame_offset=100, num_frames=1000)
+    assert sr_a == sr_b
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_native_resample_matches_python(tmp_path):
+    from aero_tpu.data import native_io
+    from aero_tpu.ops.resample import resample_np
+    import ctypes
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(4000).astype(np.float32)
+    want = resample_np(x[None], 4000, 16000)[0]
+
+    lib = native_io.get_lib()
+    out = np.zeros(20000, np.float32)
+    n = lib.aeroio_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x), 4000, 16000,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out))
+    assert n == len(want)
+    np.testing.assert_allclose(out[:n], want, atol=1e-4)
+
+
+def _run_visqol(ref, deg, tmp_path, speech=True):
+    rp = str(tmp_path / "r.wav")
+    dp = str(tmp_path / "d.wav")
+    audio_io.save(rp, ref, 16000)
+    audio_io.save(dp, deg, 16000)
+    cmd = (f"cd {NATIVE}; ./bazel-bin/visqol --reference_file {rp} "
+           f"--degraded_file {dp} ")
+    if speech:
+        cmd += "--use_speech_mode"
+    proc = subprocess.run(cmd, shell=True, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT)
+    out = proc.stdout.decode()
+    return float(out.split("\t")[-1].strip())
+
+
+def test_visqol_contract_and_monotonicity(tmp_path):
+    """Same invocation contract as /root/reference/src/metrics.py:108-121;
+    identical signals score near ceiling, quality decreases with noise."""
+    rng = np.random.default_rng(2)
+    t = np.arange(16000 * 2) / 16000
+    clean = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)[None]
+
+    s_same = _run_visqol(clean, clean, tmp_path)
+    noisy1 = clean + 0.02 * rng.standard_normal(clean.shape).astype(np.float32)
+    s_n1 = _run_visqol(clean, noisy1, tmp_path)
+    noisy2 = clean + 0.2 * rng.standard_normal(clean.shape).astype(np.float32)
+    s_n2 = _run_visqol(clean, noisy2, tmp_path)
+
+    assert 4.3 <= s_same <= 5.0, s_same
+    assert s_same >= s_n1 >= s_n2, (s_same, s_n1, s_n2)
+    assert s_n2 < 3.5, s_n2
+
+
+def test_visqol_through_metrics_module(tmp_path, monkeypatch):
+    """run_metrics drives the scorer through the exact subprocess contract."""
+    from aero_tpu.eval.metrics import get_visqol
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000.0
+    clean = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[None]
+    monkeypatch.chdir(tmp_path)
+    score = get_visqol(clean, clean, "testfile", 16000, True, NATIVE)
+    assert score > 4.0
+
+
+def test_audio_tool_cli(tmp_path):
+    rng = np.random.default_rng(4)
+    x = (0.4 * rng.standard_normal((1, 8000))).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    dst = str(tmp_path / "out.wav")
+    audio_io.save(src, x, 8000)
+    tool = os.path.join(NATIVE, "bin", "aero_audio_tool")
+
+    proc = subprocess.run([tool, "resample", src, dst, "16000"],
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    y, sr = audio_io.load(dst)
+    assert sr == 16000 and y.shape == (1, 16000)
+
+    proc = subprocess.run([tool, "info", dst], capture_output=True, text=True)
+    assert "sample_rate=16000" in proc.stdout
