@@ -314,11 +314,19 @@ class Solver:
         logprog = LogProgress(logger, self.tr_loader, updates=self.num_prints,
                               name=name)
 
+        profile_step = (int(self.args.get("profile", 0)) and epoch == 0)
         i = -1
         for i, (lr, hr) in enumerate(logprog):
             lr = pmesh.shard_batch(jnp.asarray(lr), self.mesh)
             hr = pmesh.shard_batch(jnp.asarray(hr), self.mesh)
-            self.state, metrics = self.train_step(self.state, lr, hr)
+            if profile_step and i == 1:  # step 0 compiles; trace step 1
+                from aero_tpu.utils.profiling import trace
+
+                with trace(str(self.args.get("profile_dir", "profile"))):
+                    self.state, metrics = self.train_step(self.state, lr, hr)
+                    jax.block_until_ready(metrics)
+            else:
+                self.state, metrics = self.train_step(self.state, lr, hr)
             metrics = jax.device_get(metrics)
             total_loss += float(metrics["total"])
             for k, v in metrics.items():

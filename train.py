@@ -36,6 +36,10 @@ CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 
 
 def run(args):
+    if args.get("debug_nans"):
+        from aero_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     rank = jax.process_index()
     world_size = jax.process_count()
 
