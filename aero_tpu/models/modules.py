@@ -375,7 +375,13 @@ class LocalState(nn.Module):
         else:
             decay_w = jnp.zeros((b, t, heads), x.dtype)
 
-        if t <= 2 * self.block_q:
+        from aero_tpu.ops import attention as fused_attn
+
+        if t > 2 * self.block_q and fused_attn.pallas_available():
+            # Flash-style Pallas kernel: no T x T materialization at all.
+            result = fused_attn.fused_local_attention(queries, keys, content,
+                                                      decay_w)
+        elif t <= 2 * self.block_q:
             result = _attend_block(keys, content, queries, decay_w,
                                    jnp.arange(t), t)
         else:
