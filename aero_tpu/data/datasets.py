@@ -111,14 +111,26 @@ def assert_sets(lr_set: Audioset, hr_set: Audioset) -> None:
 
 
 class LrHrSet:
-    """Paired low/high-resolution egs-json dataset."""
+    """Paired low/high-resolution egs-json dataset.
+
+    ``stft=True`` returns complex-as-channels spectrogram features instead
+    of waveforms (reference datasets.py:107-114,147-153)."""
 
     def __init__(self, json_dir, lr_sr, hr_sr, stride=None, segment=None,
-                 pad=True, with_path=False, upsample=True):
+                 pad=True, with_path=False, upsample=True,
+                 stft=False, win_len=64, hop_len=16, n_fft=4096,
+                 complex_as_channels=True):
         self.lr_sr = lr_sr
         self.hr_sr = hr_sr
         self.with_path = with_path
         self.upsample = upsample
+        self.stft = stft
+        if stft:
+            # win/hop in milliseconds at hr rate (reference :108-109)
+            self.window_length = int(hr_sr / 1000 * win_len)
+            self.hop_length = int(hr_sr / 1000 * hop_len)
+            self.n_fft = n_fft
+            self.complex_as_channels = complex_as_channels
 
         with open(os.path.join(json_dir, "lr.json")) as f:
             lr = json.load(f)
@@ -149,9 +161,37 @@ class LrHrSet:
         if self.upsample:
             lr_sig = resample_np(lr_sig, self.lr_sr, self.hr_sr)
             lr_sig = match_signal(lr_sig, hr_sig.shape[-1])
+
+        if self.stft:
+            hr_sig = self._spectrogram(hr_sig)
+            lr_sig = self._spectrogram(lr_sig)
+
         if self.with_path:
             return (lr_sig, lr_path), (hr_sig, hr_path)
         return lr_sig, hr_sig
+
+    def _spectrogram(self, sig: np.ndarray) -> np.ndarray:
+        """torchaudio Spectrogram(power=None) equivalent: complex STFT,
+        optionally complex-as-channels [2*C, F, T] (reference :147-153).
+
+        Note: the reference's ``view_as_real(...).reshape(2*Ch, Fr, T)``
+        scrambles the freq axis for Ch=1 (a raw memory reinterpretation,
+        in a code path no shipped config uses); here real/imag are proper
+        interleaved channels."""
+        import jax.numpy as jnp
+
+        from aero_tpu.ops.spec import stft as jstft
+
+        z = np.asarray(jstft(jnp.asarray(sig), self.n_fft, self.hop_length,
+                             self.window_length, normalized=False,
+                             center=True, pad_mode="reflect"))
+        if self.complex_as_channels:
+            ch, fr, t = z.shape
+            out = np.empty((2 * ch, fr, t), np.float32)
+            out[0::2] = z.real
+            out[1::2] = z.imag
+            return out
+        return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
 
     def __len__(self):
         return len(self.lr_set)

@@ -35,11 +35,34 @@ logger = logging.getLogger(__name__)
 CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 
 
+def maybe_init_distributed(args):
+    """Multi-host initialization — the TPU-native replacement for the
+    reference's subprocess DDP launcher (src/ddp/executor.py:50-75).
+
+    The JAX runtime provides one process per host; on Cloud TPU
+    ``jax.distributed.initialize()`` discovers the coordinator from the
+    environment. ``ddp=true`` (reference CLI flag) or standard JAX
+    coordinator env vars trigger it; single-process runs skip it.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if bool(args.get("ddp")) or coord:
+        try:
+            jax.distributed.initialize()
+            logger.info(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}")
+        except Exception as e:  # single-host fallback
+            logger.warning(f"jax.distributed.initialize failed ({e}); "
+                           f"continuing single-process")
+
+
 def run(args):
     if args.get("debug_nans"):
         from aero_tpu.utils.profiling import enable_nan_debugging
 
         enable_nan_debugging()
+    maybe_init_distributed(args)
     rank = jax.process_index()
     world_size = jax.process_count()
 
