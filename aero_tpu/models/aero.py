@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from aero_tpu.models.modules import (
     BatchNorm, Conv1d, Conv2d, ConvTranspose2dFreq, ConvTranspose2dTime,
-    DConv, FTB, GroupNorm, LayerScale, ScaledEmbedding, gelu, glu,
+    DConv, FTB, GroupNorm, LayerScale, ScaledEmbedding, compute_dtype,
+    gelu, glu,
 )
 from aero_tpu.ops.spec import spectro, ispectro
 
@@ -319,6 +320,7 @@ class Aero(nn.Module):
         mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
         std = jnp.std(x, axis=(1, 2, 3), keepdims=True, ddof=1)
         x = (x - mean) / (1e-5 + std)
+        x = x.astype(compute_dtype())  # bf16 U-Net when configured
 
         plan = self._layer_plan()
         saved = []
@@ -341,7 +343,8 @@ class Aero(nn.Module):
                                       smooth=self.emb_smooth,
                                       scale=self.emb_scale,
                                       name="freq_emb")(frs)
-                x = x + self.freq_emb * emb[None, :, None, :]
+                x = x + jnp.asarray(self.freq_emb, x.dtype) * \
+                    emb[None, :, None, :].astype(x.dtype)
             saved.append(x)
 
         # zero bottleneck: the signal flows via skips (aero.py:484)
@@ -361,8 +364,8 @@ class Aero(nn.Module):
 
         assert len(saved) == 0
 
-        # [B, F, T, 2*out] -> de-normalize -> complex [B, out, F, T]
-        x = x * std + mean
+        # [B, F, T, 2*out] -> f32 -> de-normalize -> complex [B, out, F, T]
+        x = x.astype(jnp.float32) * std + mean
         x = x.reshape(b, f, t, self.out_channels, 2)
         x_spec = jax.lax.complex(x[..., 0], x[..., 1])  # [B, F, T, out]
         x_spec = jnp.moveaxis(x_spec, -1, 1)  # [B, out, F, T]

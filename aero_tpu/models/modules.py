@@ -29,6 +29,22 @@ import numpy as np
 
 from aero_tpu.models import init as tinit
 
+# Global compute dtype for the hot path (set from config `precision`).
+# Parameters are always stored float32; bfloat16 here halves HBM traffic
+# for activations and weights in-flight. float32 islands are preserved
+# where numerics demand it: STFT/iSTFT, normalization statistics, softmax
+# and LSTM cell-state accumulation.
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype) if dtype is not None else jnp.float32
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 def gelu(x):
     """torch.nn.functional.gelu default == exact erf formulation."""
@@ -78,6 +94,7 @@ class Conv1d(nn.Module):
             kernel_dilation=(self.dilation,),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=tinit.conv_kernel_init,
             bias_init=tinit.conv_bias_init_for(kshape),
             name="conv",
@@ -103,6 +120,7 @@ class Conv2d(nn.Module):
             padding=[(self.padding[0], self.padding[0]),
                      (self.padding[1], self.padding[1])],
             use_bias=self.use_bias,
+            dtype=compute_dtype(),
             kernel_init=tinit.conv_kernel_init,
             bias_init=tinit.conv_bias_init_for(kshape),
             name="conv",
@@ -117,6 +135,9 @@ def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
     ``kernel``: [k, in, out] (flax layout). Output length (L-1)*s + k - 2p.
     """
     k = kernel.shape[0]
+    cd = compute_dtype()
+    kernel = kernel.astype(cd)
+    x = x.astype(cd)
     lead = x.shape[:-2]
     x2 = x.reshape(-1, x.shape[-2], x.shape[-1])
     out = jax.lax.conv_general_dilated(
@@ -148,7 +169,7 @@ class ConvTranspose1d(nn.Module):
         y = _conv_transpose(x, kernel, self.stride, self.padding, axis=-2)
         if self.output_padding:
             y = jnp.pad(y, ((0, 0), (0, self.output_padding), (0, 0)))
-        return y + bias
+        return y + bias.astype(y.dtype)
 
 
 class ConvTranspose2dFreq(nn.Module):
@@ -170,7 +191,7 @@ class ConvTranspose2dFreq(nn.Module):
         xt = jnp.swapaxes(x, 1, 2)
         y = _conv_transpose(xt, kernel, self.stride, 0, axis=-2)
         y = jnp.swapaxes(y, 1, 2)
-        return y + bias
+        return y + bias.astype(y.dtype)
 
 
 class ConvTranspose2dTime(nn.Module):
@@ -187,7 +208,7 @@ class ConvTranspose2dTime(nn.Module):
         bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
                           (self.features,))
         y = _conv_transpose(x, kernel, self.stride, 0, axis=-2)
-        return y + bias
+        return y + bias.astype(y.dtype)
 
 
 class GroupNorm(nn.Module):
@@ -197,7 +218,9 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=jnp.float32, name="gn")(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class BatchNorm(nn.Module):
@@ -205,8 +228,10 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, name="bn")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="bn")(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class Snake(nn.Module):
@@ -224,7 +249,7 @@ class Snake(nn.Module):
         a = self.param("a", exp_init, (self.features,))
         shape = [1] * x.ndim
         shape[axis] = self.features
-        a = a.reshape(shape)
+        a = a.reshape(shape).astype(x.dtype)
         return x + (1.0 / a) * jnp.sin(x * a) ** 2
 
 
@@ -243,6 +268,7 @@ class LSTM(nn.Module):
     @nn.compact
     def __call__(self, x):
         init = tinit.lstm_init_for(self.hidden)
+        cd = compute_dtype()
         for layer in range(self.layers):
             in_dim = x.shape[-1]
             outs = []
@@ -253,19 +279,22 @@ class LSTM(nn.Module):
                 b_ih = self.param(f"{pref}_b_ih", init, (4 * self.hidden,))
                 b_hh = self.param(f"{pref}_b_hh", init, (4 * self.hidden,))
                 xd = x if direction == 0 else jnp.flip(x, 1)
-                xp = xd @ w_ih + (b_ih + b_hh)  # [B, T, 4H] one big matmul
+                # one big [B, T, 4H] input projection on the MXU
+                xp = xd.astype(cd) @ w_ih.astype(cd) + (b_ih + b_hh).astype(cd)
+                w_hh_c = w_hh.astype(cd)
 
-                def step(carry, xt, w_hh=w_hh):
-                    h, c = carry
-                    gates = xt + h @ w_hh
-                    i, f, g, o = jnp.split(gates, 4, -1)
+                def step(carry, xt, w_hh_c=w_hh_c):
+                    h, c = carry  # h in compute dtype, c in float32
+                    gates = xt + h @ w_hh_c
+                    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, -1)
                     c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-                    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                    h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(cd)
                     return (h, c), h
 
                 b = x.shape[0]
-                h0 = jnp.zeros((b, self.hidden), x.dtype)
-                _, ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xp, 0, 1))
+                h0 = jnp.zeros((b, self.hidden), cd)
+                c0 = jnp.zeros((b, self.hidden), jnp.float32)
+                _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xp, 0, 1))
                 ys = jnp.swapaxes(ys, 0, 1)
                 outs.append(ys if direction == 0 else jnp.flip(ys, 1))
             x = jnp.concatenate(outs, -1)
@@ -297,6 +326,7 @@ class BLSTM(nn.Module):
         x = LSTM(self.dim, self.layers, name="lstm")(x)
         x = nn.Dense(
             self.dim,
+            dtype=compute_dtype(),
             kernel_init=tinit.linear_kernel_init,
             bias_init=tinit.linear_bias_init_for(2 * self.dim),
             name="linear",
@@ -323,7 +353,8 @@ def _attend_block(keys, content, queries_b, decay_w_b, s_idx_b, t):
     decay_w_b: [B, Q, H] per-query decay weight; s_idx_b: [Q] global
     query positions. Returns [B, Q, H, C].
     """
-    scores = jnp.einsum("bthc,bshc->bhts", keys, queries_b)
+    scores = jnp.einsum("bthc,bshc->bhts", keys, queries_b,
+                        preferred_element_type=jnp.float32)
     t_idx = jnp.arange(t, dtype=scores.dtype)
     delta = jnp.abs(t_idx[:, None] - s_idx_b[None, :].astype(scores.dtype))
     # decay bias is rank-1 in (t, s): -|t-s| * w[b,h,s]
@@ -331,8 +362,9 @@ def _attend_block(keys, content, queries_b, decay_w_b, s_idx_b, t):
     # kill self reference (reference masked_fill with -100, modules.py:120)
     self_mask = t_idx[:, None] == s_idx_b[None, :].astype(scores.dtype)
     scores = jnp.where(self_mask[None, None], -100.0, scores)
-    weights = jax.nn.softmax(scores, axis=2)  # over keys t
-    return jnp.einsum("bhts,bthc->bshc", weights, content)
+    weights = jax.nn.softmax(scores, axis=2)  # over keys t (float32)
+    return jnp.einsum("bhts,bthc->bshc", weights.astype(content.dtype),
+                      content)
 
 
 class LocalState(nn.Module):
@@ -419,7 +451,7 @@ class LayerScale(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.constant(self.init),
                            (self.channels,))
-        return scale * x
+        return scale.astype(x.dtype) * x
 
 
 class ScaledEmbedding(nn.Module):
@@ -474,7 +506,7 @@ class FTB(nn.Module):
         w = self.param("freq_fc", tinit.linear_kernel_init,
                        (self.input_dim, self.input_dim))
         # torch Linear over the freq axis: out[f'] = sum_f att[f] W[f', f]
-        att = jnp.einsum("gf,bftc->bgtc", w.T, att)
+        att = jnp.einsum("gf,bftc->bgtc", w.T.astype(att.dtype), att)
 
         h = jnp.concatenate([att, x], axis=-1)
         h = Conv2d(self.in_channel, (1, 1), name="conv2")(h)

@@ -54,6 +54,11 @@ def init_variables(args, models, rng, lr_shape, hr_shape):
 
 
 def build_models(args):
+    from aero_tpu.models.modules import set_compute_dtype
+
+    precision = str(args.get("precision", "float32") or "float32")
+    set_compute_dtype(jnp.bfloat16 if precision == "bfloat16"
+                      else jnp.float32)
     return factory.get_model(args)
 
 
