@@ -5,9 +5,19 @@ The reference's latency measurement point is ``predict.py``'s
 the north-star metric is audio-seconds generated per wall-second per chip
 (BASELINE.md: >10x realtime on one TPU v5e chip).
 
+Measurement notes (remote-tunneled chip): per-op ``block_until_ready``
+through the axon relay has been observed returning before execution, and
+per-call round-trip latency (~60-90 ms) dwarfs on-chip time. So we time
+a BATCH of chunks per call with a forced scalar fetch (un-fakeable), use
+the median over repeats, and report audio-seconds/second. Tunnel latency
+is still included, so this UNDERSTATES on-chip throughput.
+
 Prints ONE JSON line:
   {"metric": "realtime_factor", "value": N, "unit": "audio_sec_per_sec",
    "vs_baseline": N / 10.0}
+
+Env overrides: AERO_BENCH_BATCH (default 4), AERO_BENCH_ITERS (default 5),
+plus any config override args (e.g. ``precision=bfloat16``).
 """
 
 from __future__ import annotations
@@ -17,6 +27,8 @@ from aero_tpu.utils.platform import select_platform_from_env
 select_platform_from_env()
 
 import json
+import os
+import statistics
 import sys
 import time
 
@@ -28,8 +40,6 @@ from aero_tpu.train import build
 from aero_tpu.utils.config import load_config
 
 CHUNK_SEC = 10.0  # predict.py SEGMENT_DURATION_SEC
-WARMUP = 3
-ITERS = 20
 BASELINE_RTF = 10.0  # throughput gate from BASELINE.json
 
 
@@ -37,6 +47,8 @@ def main():
     overrides = [a for a in sys.argv[1:] if "=" in a]
     args = load_config("conf", "main_config",
                        ["experiment=aero_4-16_512_64", "dset=4-16"] + overrides)
+    batch = int(os.environ.get("AERO_BENCH_BATCH", 4))
+    iters = int(os.environ.get("AERO_BENCH_ITERS", 5))
 
     models = build.build_models(args)
     gen = models["generator"]
@@ -44,36 +56,29 @@ def main():
     lr_sr = int(args.experiment.lr_sr)
     chunk = int(lr_sr * CHUNK_SEC)
     x = jnp.asarray(
-        0.1 * np.random.default_rng(0).standard_normal((1, 1, chunk)),
+        0.1 * np.random.default_rng(0).standard_normal((batch, 1, chunk)),
         dtype=jnp.float32)
 
     variables = jax.jit(lambda k, y: gen.init(k, y, train=False))(
-        jax.random.PRNGKey(0), x[:, :, :lr_sr])
+        jax.random.PRNGKey(0), x[:1, :, :lr_sr])
 
     @jax.jit
     def forward(variables, lr):
         return gen.apply(variables, lr, train=False)
 
-    # compile + warmup
-    out = forward(variables, x)
-    out.block_until_ready()
-    for _ in range(WARMUP):
-        forward(variables, x).block_until_ready()
-
-    # Distinct inputs + forced scalar fetch per call: the only timing the
-    # remote tunnel cannot fake (block_until_ready through the relay has
-    # been observed returning before execution). Includes tunnel latency,
-    # so this UNDERSTATES on-chip throughput.
-    xs = [x * (1.0 + 0.01 * i) for i in range(ITERS)]
-    jax.block_until_ready(xs)
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(ITERS):
-        acc += float(jnp.sum(forward(variables, xs[i])))
-    dt = (time.perf_counter() - t0) / ITERS
+    # compile + warmup (forced fetch)
+    acc = float(jnp.sum(forward(variables, x)))
+    times = []
+    for i in range(iters):
+        xi = x * (1.0 + 0.01 * (i + 1))
+        xi.block_until_ready()
+        t0 = time.perf_counter()
+        acc += float(jnp.sum(forward(variables, xi)))
+        times.append(time.perf_counter() - t0)
     assert np.isfinite(acc)
 
-    rtf = CHUNK_SEC / dt
+    dt = statistics.median(times)
+    rtf = batch * CHUNK_SEC / dt
     print(json.dumps({
         "metric": "realtime_factor",
         "value": round(rtf, 2),
