@@ -25,8 +25,14 @@ logger = logging.getLogger(__name__)
 
 
 def _averages(total_lsd, lsd_count, total_visqol, visqol_count):
+    """Zero-excluded averages, reduced across processes when distributed
+    (reference evaluate.py:173-179 / distrib.average)."""
+    from aero_tpu.parallel.mesh import global_weighted_average
+
     avg_lsd = total_lsd / lsd_count if lsd_count else 0.0
     avg_visqol = total_visqol / visqol_count if visqol_count else 0.0
+    (avg_lsd,), _ = global_weighted_average([avg_lsd], lsd_count)
+    (avg_visqol,), _ = global_weighted_average([avg_visqol], visqol_count)
     return avg_lsd, avg_visqol
 
 

@@ -47,6 +47,26 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def global_weighted_average(values, count):
+    """Cross-process weighted metric average — the TPU-native
+    ``distrib.average`` (reference src/ddp/distrib.py:43-55).
+
+    ``values``: list of floats averaged on this process over ``count``
+    items. Single-process: returns inputs unchanged.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return list(values), count
+    from jax.experimental import multihost_utils
+    import numpy as np_
+
+    arr = np_.asarray([v * count for v in values] + [count], np_.float64)
+    total = multihost_utils.process_allgather(arr).sum(axis=0)
+    total_count = max(total[-1], 1e-9)
+    return [float(v / total_count) for v in total[:-1]], int(total[-1])
+
+
 def pad_batch_to(batch, size: int):
     """Pad the leading axis to ``size`` (repeating the first element) so
     ragged final eval batches keep static XLA shapes. Returns (batch, n_real)."""
