@@ -67,8 +67,14 @@ class EvalForward:
             def fwd(state, lr):
                 variables = {"params": state.gen_params, **state.gen_state}
                 if return_spec:
-                    return gen.apply(variables, lr, train=False,
-                                     return_spec=True, return_lr_spec=True)
+                    pr, pr_spec, lr_spec = gen.apply(
+                        variables, lr, train=False,
+                        return_spec=True, return_lr_spec=True)
+                    # split complex -> (real, imag): some remote runtimes
+                    # cannot transfer complex buffers to host
+                    return (pr,
+                            (jnp.real(pr_spec), jnp.imag(pr_spec)),
+                            (jnp.real(lr_spec), jnp.imag(lr_spec)))
                 return gen.apply(variables, lr, train=False)
 
             self._cache[t] = fwd
@@ -83,9 +89,10 @@ class EvalForward:
         out = self._fn_for(padded_t)(self.state, jnp.asarray(x))
         target = int(t * self.scale)
         if self.return_spec:
-            pr, pr_spec, lr_spec = out
-            return (np.asarray(pr)[..., :target], np.asarray(pr_spec),
-                    np.asarray(lr_spec))
+            pr, (pr_re, pr_im), (lr_re, lr_im) = out
+            pr_spec = np.asarray(pr_re) + 1j * np.asarray(pr_im)
+            lr_spec = np.asarray(lr_re) + 1j * np.asarray(lr_im)
+            return np.asarray(pr)[..., :target], pr_spec, lr_spec
         return np.asarray(out)[..., :target]
 
 

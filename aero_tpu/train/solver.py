@@ -294,17 +294,27 @@ class Solver:
 
             @jax.jit
             def hr_spec(hr):
-                return gen._spec(jnp.asarray(hr), scale=True)
+                z = gen._spec(jnp.asarray(hr), scale=True)
+                return jnp.real(z), jnp.imag(z)  # complex-safe host fetch
 
-            return {"hr_spec": lambda hr: np.asarray(hr_spec(hr))}
+            def hr_spec_np(hr):
+                re, im = hr_spec(hr)
+                return np.asarray(re) + 1j * np.asarray(im)
+
+            return {"hr_spec": hr_spec_np}
 
         nfft = int(exp.nfft)
 
         @jax.jit
         def spec(x):
-            return spectro(jnp.asarray(x), nfft, win_length=nfft // 4)
+            z = spectro(jnp.asarray(x), nfft, win_length=nfft // 4)
+            return jnp.real(z), jnp.imag(z)
 
-        return {"spec": lambda x: np.asarray(spec(x))}
+        def spec_np(x):
+            re, im = spec(x)
+            return np.asarray(re) + 1j * np.asarray(im)
+
+        return {"spec": spec_np}
 
     def _run_one_epoch(self, epoch):
         total_losses = {}
