@@ -182,9 +182,11 @@ class LrHrSet:
 
         from aero_tpu.ops.spec import stft as jstft
 
-        z = np.asarray(jstft(jnp.asarray(sig), self.n_fft, self.hop_length,
-                             self.window_length, normalized=False,
-                             center=True, pad_mode="reflect"))
+        zj = jstft(jnp.asarray(sig), self.n_fft, self.hop_length,
+                   self.window_length, normalized=False,
+                   center=True, pad_mode="reflect")
+        # fetch real/imag separately (complex-safe for remote runtimes)
+        z = np.asarray(jnp.real(zj)) + 1j * np.asarray(jnp.imag(zj))
         if self.complex_as_channels:
             ch, fr, t = z.shape
             out = np.empty((2 * ch, fr, t), np.float32)

@@ -33,7 +33,8 @@ def stft_mag_np(x: np.ndarray, nfft: int = 2048, hop: int = 512) -> np.ndarray:
 
     z = stft(jnp.asarray(x, dtype=jnp.float32), nfft, hop, nfft,
              normalized=False, center=True, pad_mode="reflect")
-    return np.abs(np.asarray(z))
+    # magnitude on-device: complex buffers can't cross some remote runtimes
+    return np.asarray(jnp.abs(z))
 
 
 def get_lsd(ref_sig: np.ndarray, out_sig: np.ndarray) -> float:
