@@ -44,6 +44,12 @@ def match_signal(signal: np.ndarray, ref_len: int) -> np.ndarray:
     return signal
 
 
+def match_source_to_target_length(source_sig: np.ndarray,
+                                  target_sig: np.ndarray) -> np.ndarray:
+    """Trim/pad source to the target's length (datasets.py:40-47)."""
+    return match_signal(source_sig, target_sig.shape[-1])
+
+
 def match_files(lr: list, hr: list) -> None:
     """Sort both egs lists so LR/HR pair by filename (datasets.py:24-31)."""
     lr.sort()

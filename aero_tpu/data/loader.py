@@ -33,7 +33,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, rank: int = 0,
-                 world_size: int = 1, num_workers: int = 2):
+                 world_size: int = 1, num_workers: int = 2,
+                 pad_shards: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +43,10 @@ class Loader:
         self.rank = rank
         self.world_size = world_size
         self.num_workers = max(0, num_workers)
+        # train: pad shards to equal size (DistributedSampler semantics);
+        # eval: unpadded strided sharding so no file is double-counted
+        # (reference Subset(range(rank, N, world)), src/ddp/distrib.py:100)
+        self.pad_shards = pad_shards
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -56,11 +61,12 @@ class Loader:
         else:
             order = np.arange(n)
         if self.world_size > 1:
-            # pad to a multiple of world_size (repeat from the front),
-            # like torch DistributedSampler
-            total = -(-n // self.world_size) * self.world_size
-            if total > n:
-                order = np.concatenate([order, order[: total - n]])
+            if self.pad_shards:
+                # pad to a multiple of world_size (repeat from the front),
+                # like torch DistributedSampler
+                total = -(-n // self.world_size) * self.world_size
+                if total > n:
+                    order = np.concatenate([order, order[: total - n]])
             order = order[self.rank::self.world_size]
         return order
 

@@ -110,10 +110,17 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def pallas_attention(q, k, content, decay_w, block_q: int = 128,
-                     block_k: int = 512):
-    """Pallas flash local attention. Shapes as reference_attention."""
+def pallas_attention(q, k, content, decay_w, block_q: int = 256,
+                     block_k: int | None = None):
+    """Pallas flash local attention. Shapes as reference_attention.
+
+    Block sizes tuned on v5e: a single whole-T key block (K/V resident
+    in VMEM, no online-softmax loop carry) is ~20% faster than looped
+    512/1024 blocks for T <= ~3k; beyond that cap at 2048 to bound VMEM.
+    """
     b, t, h, c = q.shape
+    if block_k is None:
+        block_k = _round_up(t, 256) if t <= 3072 else 2048
     t_q = _round_up(t, block_q)
     t_k = _round_up(t, block_k)
     # fold (B, H) into rows; pad T and C

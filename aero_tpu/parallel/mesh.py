@@ -47,6 +47,17 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def barrier(name: str = "aero_barrier") -> None:
+    """Cross-process sync point (reference distrib.barrier,
+    src/ddp/distrib.py:72-74). No-op single-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def global_weighted_average(values, count):
     """Cross-process weighted metric average — the TPU-native
     ``distrib.average`` (reference src/ddp/distrib.py:43-55).

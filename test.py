@@ -39,7 +39,8 @@ def run(args):
                          upsample=exp.get("upsample", False))
     tt_loader = Loader(tt_dataset, batch_size=1, shuffle=False,
                        rank=jax.process_index(),
-                       world_size=jax.process_count(), num_workers=1)
+                       world_size=jax.process_count(), num_workers=1,
+                       pad_shards=False)
 
     models = build.build_models(args)
     state = build.load_generator_state(args, models)

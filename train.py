@@ -98,7 +98,8 @@ def run(args):
                              stride=None, segment=None,
                              upsample=exp.get("upsample", False))
         cv_loader = Loader(cv_dataset, batch_size=1, shuffle=False,
-                           rank=rank, world_size=world_size, num_workers=1)
+                           rank=rank, world_size=world_size, num_workers=1,
+                           pad_shards=False)
     else:
         cv_loader = None
 
@@ -107,7 +108,8 @@ def run(args):
                              stride=None, segment=None, with_path=True,
                              upsample=exp.get("upsample", False))
         tt_loader = Loader(tt_dataset, batch_size=1, shuffle=False,
-                           rank=rank, world_size=world_size, num_workers=1)
+                           rank=rank, world_size=world_size, num_workers=1,
+                           pad_shards=False)
     else:
         tt_loader = None
 
