@@ -199,6 +199,61 @@ def import_aero_state(state_dict: tp.Mapping[str, np.ndarray], variables):
     return out
 
 
+def _is_transpose(transform) -> bool:
+    """Distinguish the ``.T`` lambdas from identity by probing."""
+    probe = np.zeros((2, 3), np.float32)
+    try:
+        return transform(probe).shape == (3, 2)
+    except Exception:
+        return False
+
+
+def export_aero_state(variables, freq_kernel_4d: bool = True):
+    """Map our Aero variables back to a reference state_dict
+    {torch_key: np.ndarray} — the inverse of :func:`import_aero_state`.
+
+    ``freq_kernel_4d``: emit ConvTranspose weights as [in, out, k, 1]
+    (the reference's 2-D freq transpose layout, aero.py:172).
+    """
+    out = {}
+    for coll in ("params", "batch_stats"):
+        if coll not in variables:
+            continue
+        for path, leaf in _walk(variables[coll]):
+            tkey, transform = _aero_torch_key(path)
+            v = np.asarray(leaf)
+            if transform is _t_conv:
+                v = np.transpose(v, (2, 1, 0)) if v.ndim == 3 \
+                    else np.transpose(v, (3, 2, 0, 1))
+            elif transform is _t_convtr:
+                v = np.transpose(v, (1, 2, 0))
+                if freq_kernel_4d and tkey.endswith("conv_tr.weight"):
+                    v = v[..., None]  # [in, out, k, 1]
+            elif _is_transpose(transform):
+                v = v.T  # linear-kernel/freq_fc/lstm-weight transposes
+            out[tkey] = v
+    return out
+
+
+def save_torch_checkpoint(path: str, variables, kwargs: dict,
+                          history=None, args: dict | None = None) -> None:
+    """Write a reference-format checkpoint.th (model_serializer.py layout)
+    loadable by the PyTorch reference (pure tensors, no pickled classes)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_aero_state(variables).items()}
+    package = {
+        "models": {"generator": {"class": None, "args": [],
+                                 "kwargs": dict(kwargs), "state": sd}},
+        "optimizers": {},
+        "history": history or [],
+        "best_states": {},
+        "args": args or {},
+    }
+    torch.save(package, path)
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference checkpoint.th -> dict of numpy state dicts.
 

@@ -43,7 +43,25 @@ CHUNK_SEC = 10.0  # predict.py SEGMENT_DURATION_SEC
 BASELINE_RTF = 10.0  # throughput gate from BASELINE.json
 
 
+def _watchdog(seconds: int = 900):
+    """The remote TPU tunnel occasionally goes fully unresponsive; fail
+    loudly instead of hanging the benchmark driver."""
+    import signal
+
+    def on_alarm(_sig, _frm):
+        print(json.dumps({"metric": "realtime_factor", "value": 0,
+                          "unit": "audio_sec_per_sec", "vs_baseline": 0,
+                          "error": "device unresponsive (watchdog)"}))
+        sys.stdout.flush()
+        import os as _os
+        _os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     overrides = [a for a in sys.argv[1:] if "=" in a]
     args = load_config("conf", "main_config",
                        ["experiment=aero_4-16_512_64", "dset=4-16"] + overrides)

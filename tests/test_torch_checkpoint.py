@@ -65,3 +65,36 @@ def test_load_reference_checkpoint_th(tmp_path):
     got = np.asarray(jm.apply(loaded, jnp.asarray(xr), train=False))
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
     assert err < 2e-2, err
+
+
+def test_export_roundtrip(tmp_path):
+    """export_aero_state -> reference .th -> torch reference forward must
+    match our forward (the reverse shim: take trained TPU weights back
+    to the PyTorch reference)."""
+    from aero_tpu.train.torch_import import save_torch_checkpoint
+
+    jm = Aero(**{**KW, "strides": (4, 4)})
+    x = (0.1 * np.random.default_rng(1).standard_normal((1, 1, 4000))
+         ).astype(np.float32)
+    variables = jax.tree.map(
+        np.asarray,
+        dict(jax.jit(lambda k, y: jm.init(k, y, train=False))(
+            jax.random.PRNGKey(3), jnp.asarray(x))))
+
+    path = str(tmp_path / "exported.th")
+    save_torch_checkpoint(path, variables, KW)
+
+    tm = TorchAero(**KW)
+    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    tm.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) if not torch.is_tensor(v) else v
+         for k, v in pkg["models"]["generator"]["state"].items()},
+        strict=False)  # num_batches_tracked buffers absent by design
+    tm.eval()
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm.apply(jax.tree.map(jnp.asarray, variables),
+                              jnp.asarray(x), train=False))
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 2e-2, err
