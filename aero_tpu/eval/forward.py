@@ -112,3 +112,42 @@ class ChunkedInference:
             sl = lr[..., i * self.chunk:min((i + 1) * self.chunk, t)]
             outs.append(np.asarray(self.forward(sl)))
         return np.concatenate(outs, axis=-1)
+
+
+def make_spec_fns(args, gen):
+    """Host-side spectrogram helpers for artifact saving (complex-safe).
+
+    AERO: hr spectra via the model's scaled analysis STFT
+    (reference evaluate.py:67); other models: plain spectro at nfft//4
+    window (reference evaluate.py:69-73).
+    """
+    import jax
+
+    exp = args.experiment
+    if exp.model == "aero":
+
+        @jax.jit
+        def hr_spec(hr):
+            z = gen._spec(hr, scale=True)
+            return jnp.real(z), jnp.imag(z)
+
+        def hr_spec_np(hr):
+            re, im = hr_spec(jnp.asarray(np.asarray(hr)))
+            return np.asarray(re) + 1j * np.asarray(im)
+
+        return {"hr_spec": hr_spec_np}
+
+    from aero_tpu.ops.spec import spectro
+
+    nfft = int(exp.nfft)
+
+    @jax.jit
+    def spec(x):
+        z = spectro(x, nfft, win_length=nfft // 4)
+        return jnp.real(z), jnp.imag(z)
+
+    def spec_np(x):
+        re, im = spec(jnp.asarray(np.asarray(x)))
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    return {"spec": spec_np}

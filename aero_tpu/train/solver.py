@@ -286,35 +286,9 @@ class Solver:
         return pmesh.replicate(host, self.mesh)
 
     def _spec_fns(self):
-        exp = self.args.experiment
-        from aero_tpu.ops.spec import spectro
+        from aero_tpu.eval.forward import make_spec_fns
 
-        if exp.model == "aero":
-            gen = self.models["generator"]
-
-            @jax.jit
-            def hr_spec(hr):
-                z = gen._spec(jnp.asarray(hr), scale=True)
-                return jnp.real(z), jnp.imag(z)  # complex-safe host fetch
-
-            def hr_spec_np(hr):
-                re, im = hr_spec(hr)
-                return np.asarray(re) + 1j * np.asarray(im)
-
-            return {"hr_spec": hr_spec_np}
-
-        nfft = int(exp.nfft)
-
-        @jax.jit
-        def spec(x):
-            z = spectro(jnp.asarray(x), nfft, win_length=nfft // 4)
-            return jnp.real(z), jnp.imag(z)
-
-        def spec_np(x):
-            re, im = spec(x)
-            return np.asarray(re) + 1j * np.asarray(im)
-
-        return {"spec": spec_np}
+        return make_spec_fns(self.args, self.models["generator"])
 
     def _run_one_epoch(self, epoch):
         total_losses = {}

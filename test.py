@@ -52,7 +52,10 @@ def run(args):
                       bucket_s=float(args.get("eval_bucket_s", 1.0)),
                       return_spec=exp.model == "aero")
 
-    lsd, visqol, _files = evaluate(args, tt_loader, 0, fwd)
+    from aero_tpu.eval.forward import make_spec_fns
+
+    lsd, visqol, _files = evaluate(args, tt_loader, 0, fwd,
+                                   spec_fns=make_spec_fns(args, models["generator"]))
     logger.info("Done evaluation.")
     logger.info(bold(f"LSD={lsd} , VISQOL={visqol}"))
     return lsd, visqol
