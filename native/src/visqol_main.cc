@@ -144,9 +144,10 @@ double Nsim(const Spectrogram& r, const Spectrogram& d) {
 }
 
 double NsimToMos(double nsim) {
-  // Logistic similarity->MOS mapping; identical signals (nsim=1)
-  // score ~4.73, nsim<=0.5 collapses to ~1.
-  double v = 1.0 + 4.0 / (1.0 + std::exp(-14.0 * (nsim - 0.76)));
+  // Logistic similarity->MOS mapping calibrated on graded degradations:
+  // identical ~4.7 (ViSQOL's ceiling), 8 kHz-bandlimited ~3.9,
+  // 4 kHz-bandlimited ~2.6, heavy noise ~1.3, unrelated ~1.0.
+  double v = 1.0 + 3.73 / (1.0 + std::exp(-12.0 * (nsim - 0.72)));
   return std::max(1.0, std::min(5.0, v));
 }
 
