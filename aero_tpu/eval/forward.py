@@ -98,19 +98,52 @@ class EvalForward:
 
 class ChunkedInference:
     """predict.py-style fixed-duration chunking (reference predict.py:22,61-85):
-    split into ``segment_s`` chunks, forward each, concatenate."""
+    split into ``segment_s`` chunks, forward each, concatenate.
 
-    def __init__(self, forward: tp.Callable, sr: int, segment_s: float = 10.0):
+    ``batch_chunks=True`` runs all full-size chunks as ONE batch — on a
+    single chip that amortizes dispatch, and with ``mesh`` given the
+    batch is sharded over the data-parallel axis (multi-chip serving of
+    one long file). The ragged tail chunk runs separately.
+    """
+
+    def __init__(self, forward: tp.Callable, sr: int, segment_s: float = 10.0,
+                 batch_chunks: bool = False, mesh=None):
         self.forward = forward
         self.chunk = int(sr * segment_s)
+        self.batch_chunks = batch_chunks
+        self.mesh = mesh
 
     def __call__(self, lr: np.ndarray) -> np.ndarray:
         t = lr.shape[-1]
         n_chunks = max(1, math.ceil(t / self.chunk))
+        if not self.batch_chunks or n_chunks == 1:
+            outs = []
+            for i in range(n_chunks):
+                sl = lr[..., i * self.chunk:min((i + 1) * self.chunk, t)]
+                outs.append(np.asarray(self.forward(sl)))
+            return np.concatenate(outs, axis=-1)
+
+        n_full = t // self.chunk
         outs = []
-        for i in range(n_chunks):
-            sl = lr[..., i * self.chunk:min((i + 1) * self.chunk, t)]
-            outs.append(np.asarray(self.forward(sl)))
+        if n_full:
+            # [B, C, n_full, chunk] -> fold chunks into the batch axis
+            stack = lr[..., :n_full * self.chunk].reshape(
+                *lr.shape[:-1], n_full, self.chunk)
+            stack = np.moveaxis(stack, -2, 0).reshape(
+                n_full * lr.shape[0], *lr.shape[1:-1], self.chunk)
+            if self.mesh is not None:
+                n_dev = len(self.mesh.devices.reshape(-1))
+                pad = (-len(stack)) % n_dev
+                if pad:
+                    stack = np.concatenate([stack, stack[:pad]], axis=0)
+            y = np.asarray(self.forward(stack))
+            y = y[:n_full * lr.shape[0]]
+            y = y.reshape(n_full, lr.shape[0], *y.shape[1:])
+            y = np.moveaxis(y, 0, -2).reshape(
+                *lr.shape[:-1], n_full * y.shape[-1])
+            outs.append(y)
+        if n_full * self.chunk < t:
+            outs.append(np.asarray(self.forward(lr[..., n_full * self.chunk:])))
         return np.concatenate(outs, axis=-1)
 
 

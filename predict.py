@@ -59,8 +59,11 @@ def main():
              if not exp.get("upsample", False) else 1.0)
     fwd = EvalForward(models["generator"], state, scale=scale, lr_sr=sr,
                       bucket_s=float(args.get("eval_bucket_s", 1.0)))
+    # all full 10 s chunks run as one (optionally mesh-sharded) batch
     chunked = ChunkedInference(lambda x: fwd(x), sr,
-                               segment_s=SEGMENT_DURATION_SEC)
+                               segment_s=SEGMENT_DURATION_SEC,
+                               batch_chunks=bool(args.get("batch_chunks",
+                                                          True)))
 
     x = lr_sig[None]  # [1, C, T]
     # warmup/compile outside the timed region reflects steady-state serving

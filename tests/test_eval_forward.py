@@ -60,3 +60,19 @@ def test_chunked_inference_lengths():
     y = chunked(x)
     assert y.shape == (1, 1, 36000)
     assert np.isfinite(y).all()
+
+
+def test_chunked_batched_matches_sequential():
+    """batch_chunks folds full chunks into the batch axis; results must
+    equal sequential chunking exactly (per-chunk normalization is
+    batch-independent)."""
+    gen = Aero(**KW)
+    rng = np.random.default_rng(2)
+    x = (0.1 * rng.standard_normal((1, 1, 10500))).astype(np.float32)
+    state = _state(gen, jnp.asarray(x[..., :4000]))
+    fwd = EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5)
+
+    seq = ChunkedInference(fwd, sr=4000, segment_s=1.0)(x)
+    bat = ChunkedInference(fwd, sr=4000, segment_s=1.0, batch_chunks=True)(x)
+    assert seq.shape == bat.shape == (1, 1, 42000)
+    np.testing.assert_allclose(bat, seq, atol=2e-4)
