@@ -63,9 +63,13 @@ def _watchdog(seconds: int = 900):
 def main():
     _watchdog()
     overrides = [a for a in sys.argv[1:] if "=" in a]
+    # bfloat16 is the production TPU serving precision (f32 islands keep
+    # STFT/normalization exact; forward stays within ~1% of f32 — see
+    # tests/test_precision.py). Override with precision=float32.
     args = load_config("conf", "main_config",
-                       ["experiment=aero_4-16_512_64", "dset=4-16"] + overrides)
-    batch = int(os.environ.get("AERO_BENCH_BATCH", 4))
+                       ["experiment=aero_4-16_512_64", "dset=4-16",
+                        "precision=bfloat16"] + overrides)
+    batch = int(os.environ.get("AERO_BENCH_BATCH", 8))
     iters = int(os.environ.get("AERO_BENCH_ITERS", 5))
 
     models = build.build_models(args)
