@@ -106,6 +106,49 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+def _pallas_kernel_resident(q_ref, k_ref, v_ref, w_ref, o_ref, *,
+                            block_q: int, t_real: int):
+    """One program per (batch*head) row with Q/K/V fully VMEM-resident.
+
+    The grid-over-query-blocks variant re-fetches K/V from HBM for every
+    query block (~T/block_q redundant reads — the dominant cost at these
+    tiny head dims); here K/V stream in once and the query loop runs
+    in-kernel. Valid while q+k+v+scores fit VMEM (T up to ~3k).
+
+    q_ref/.../o_ref: [1, T_pad, C]; w_ref: [1, T_pad, 1].
+    """
+    t_pad, c = q_ref.shape[1], q_ref.shape[2]
+    n_qb = t_pad // block_q
+
+    k = k_ref[0, :, :]
+    v = v_ref[0, :, :]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+    key_pad_mask = t_idx < t_real  # [1, T_pad]
+
+    def body(j, _):
+        q_blk = q_ref[0, pl.ds(j * block_q, block_q), :]
+        w_blk = w_ref[0, pl.ds(j * block_q, block_q), :]
+        s_idx = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+                 + j * block_q)
+        s = jax.lax.dot_general(q_blk, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        delta = jnp.abs(s_idx[:, None] - t_idx).astype(s.dtype)
+        s = s - w_blk.astype(s.dtype) * delta
+        s = jnp.where(s_idx[:, None] == t_idx, -100.0, s)
+        s = jnp.where(key_pad_mask, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        out = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, pl.ds(j * block_q, block_q), :] = (
+            out / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_qb, body, 0)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -135,6 +178,26 @@ def pallas_attention(q, k, content, decay_w, block_q: int = 256,
     vf = fold(content, t_k)
     wf = jnp.moveaxis(decay_w, 2, 1).reshape(b * h, t, 1)
     wf = jnp.pad(wf, ((0, 0), (0, t_q - t), (0, 0)))
+
+    if t_k <= 3072 and t_q == t_k:
+        # resident path: K/V (and Q) stream from HBM exactly once
+        kernel = functools.partial(_pallas_kernel_resident,
+                                   block_q=block_q, t_real=t)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * h,),
+            in_specs=[
+                pl.BlockSpec((1, t_q, c_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, t_k, c_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, t_k, c_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, t_q, 1), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, t_q, c_pad), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, t_q, c_pad), q.dtype),
+            interpret=_INTERPRET,
+        )(qf, kf, vf, wf)
+        out = out[:, :t, :c].reshape(b, h, t, c)
+        return jnp.moveaxis(out, 1, 2)
 
     grid = (b * h, t_q // block_q)
     kernel = functools.partial(_pallas_kernel, block_k=block_k, t_real=t)
