@@ -69,3 +69,33 @@ def test_hifi_gan_step():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      state.disc_params, new_state.disc_params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_hifi_joint_config_step():
+    """discriminator_models=['hifi']: joint MPD+MSD LS-GAN + L1 mel loss
+    (reference solver.py:523-554)."""
+    args = hifi_args()
+    args.experiment.discriminator_models = ["hifi"]
+    args.experiment.mel_spectrogram = Config._wrap(dict(
+        n_fft=512, hop_length=128, win_length=512, n_mels=32))
+    args.experiment.mel_spec_loss_lambda = 45
+
+    models = build.build_models(args)
+    assert set(models) == {"generator", "mpd", "msd_hifi"}
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    step = make_train_step(args, models, mesh=None, donate=False)
+
+    rng = np.random.default_rng(1)
+    lr = jnp.asarray(0.1 * rng.standard_normal(lr_shape), jnp.float32)
+    hr = jnp.asarray(0.1 * rng.standard_normal(hr_shape), jnp.float32)
+    new_state, metrics = step(state, lr, hr)
+    metrics = jax.tree.map(float, metrics)
+    assert "generator_adversarial_hifi" in metrics
+    assert "discriminator_hifi" in metrics
+    assert np.isfinite(metrics["total"]), metrics
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.disc_params, new_state.disc_params)
+    assert max(jax.tree.leaves(d)) > 0
