@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from aero_tpu.models.modules import (
-    BatchNorm, Conv1d, Conv2d, ConvTranspose2dFreq, ConvTranspose2dTime,
-    DConv, FTB, GroupNorm, LayerScale, ScaledEmbedding, compute_dtype,
-    gelu, glu,
+    BatchNorm, ConcatConv2d, Conv1d, Conv2d, ConvTranspose2dFreq,
+    ConvTranspose2dTime, DConv, FTB, GroupNorm, LayerScale,
+    ScaledEmbedding, compute_dtype, gelu, glu,
 )
 from aero_tpu.ops.spec import spectro, ispectro
 
@@ -131,20 +131,21 @@ class HDecLayer(nn.Module):
         pad = (kernel_size - self.stride) // 2 if self.pad else 0
 
         if not self.empty:
-            x = jnp.concatenate([x, skip], axis=-1)
             if self.rewrite:
+                # conv over cat(x, skip) without materializing the concat
                 k = 1 + 2 * self.context
                 if self.context_freq:
-                    y = Conv2d(2 * self.chin, (k, k), (1, 1),
-                               (self.context, self.context), name="rewrite")(x)
+                    y = ConcatConv2d(2 * self.chin, (k, k),
+                                     (self.context, self.context),
+                                     name="rewrite")(x, skip)
                 else:
-                    y = Conv2d(2 * self.chin, (1, k), (1, 1),
-                               (0, self.context), name="rewrite")(x)
+                    y = ConcatConv2d(2 * self.chin, (1, k),
+                                     (0, self.context), name="rewrite")(x, skip)
                 if self.norm:
                     y = GroupNorm(self.norm_groups, name="norm1")(y)
                 y = glu(y, axis=-1)
             else:
-                y = x
+                y = jnp.concatenate([x, skip], axis=-1)
             if self.dconv:
                 y = DConv(self.chin, reshape=True, **dict(self.dconv_kw or {}),
                           name="dconv")(y, train)

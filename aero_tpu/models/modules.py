@@ -211,6 +211,49 @@ class ConvTranspose2dTime(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class _ConcatConvInner(nn.Module):
+    """Holds nn.Conv-compatible params (kernel HWIO + bias) and applies
+    the conv to a CONCAT of two inputs without materializing the concat:
+    conv(cat(a, b)) == conv_a(a) + conv_b(b) with the kernel split on the
+    input-channel axis. Saves a full activation-tensor round trip to HBM
+    per skip connection (checkpoint layout identical to Conv2d)."""
+
+    features: int
+    kernel_size: tp.Tuple[int, int]
+    padding: tp.Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, a, b):
+        c_a, c_b = a.shape[-1], b.shape[-1]
+        kshape = (*self.kernel_size, c_a + c_b, self.features)
+        kernel = self.param("kernel", tinit.conv_kernel_init, kshape)
+        bias = self.param("bias", tinit.conv_bias_init_for(kshape),
+                          (self.features,))
+        cd = compute_dtype()
+        pad = [(self.padding[0],) * 2, (self.padding[1],) * 2]
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x.astype(cd), k.astype(cd), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        y = conv(a, kernel[:, :, :c_a]) + conv(b, kernel[:, :, c_a:])
+        return y + bias.astype(y.dtype)
+
+
+class ConcatConv2d(nn.Module):
+    """conv2d over the channel-concat of two tensors, concat-free."""
+
+    features: int
+    kernel_size: tp.Tuple[int, int] = (1, 1)
+    padding: tp.Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, a, b):
+        return _ConcatConvInner(self.features, self.kernel_size,
+                                self.padding, name="conv")(a, b)
+
+
 class GroupNorm(nn.Module):
     """torch GroupNorm(groups, C) on channels-last input."""
 
@@ -508,8 +551,7 @@ class FTB(nn.Module):
         # torch Linear over the freq axis: out[f'] = sum_f att[f] W[f', f]
         att = jnp.einsum("gf,bftc->bgtc", w.T.astype(att.dtype), att)
 
-        h = jnp.concatenate([att, x], axis=-1)
-        h = Conv2d(self.in_channel, (1, 1), name="conv2")(h)
+        h = ConcatConv2d(self.in_channel, (1, 1), name="conv2")(att, x)
         h = BatchNorm(name="conv2_bn")(h, train)
         return jax.nn.relu(h)
 

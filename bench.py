@@ -69,7 +69,7 @@ def main():
     args = load_config("conf", "main_config",
                        ["experiment=aero_4-16_512_64", "dset=4-16",
                         "precision=bfloat16"] + overrides)
-    batch = int(os.environ.get("AERO_BENCH_BATCH", 8))
+    batch = int(os.environ.get("AERO_BENCH_BATCH", 16))
     iters = int(os.environ.get("AERO_BENCH_ITERS", 5))
 
     models = build.build_models(args)
