@@ -5,8 +5,7 @@ The reference model's correctness hinges on bit-near STFT/iSTFT parity
 Covers the exact parameterizations used by the reference:
 - model analysis:  nfft=512, hop=hop_length//scale, win=nfft//scale
   (src/models/aero.py:324-328)
-- model synthesis: hop=hop_length*scale... wait, hop*scale, win=nfft
-  (src/models/aero.py:423-428)
+- model synthesis: hop=hop_length, win=nfft (src/models/aero.py:423-428)
 - stft_loss resolutions 1024/120/600, 2048/240/1200, 512/50/240
   (src/models/stft_loss.py:99-103, normalized=False)
 - LSD metric 2048/512 (src/metrics.py:37-56)
@@ -148,3 +147,17 @@ def test_grad_flows():
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_istft_hop_not_dividing_nfft():
+    """OLA scatter-add fallback path (hop does not divide n_fft)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 6000)).astype(np.float32)
+    z = torch_stft(x, 512, 120, 512, normalized=True)
+    ref = torch.istft(torch.from_numpy(z), 512, 120, win_length=512,
+                      window=torch.hann_window(512), normalized=True,
+                      center=True).numpy()
+    got = np.asarray(jspec.istft(jnp.asarray(z), 512, 120, 512,
+                                 normalized=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=0)
