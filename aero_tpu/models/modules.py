@@ -314,33 +314,41 @@ class LSTM(nn.Module):
         cd = compute_dtype()
         for layer in range(self.layers):
             in_dim = x.shape[-1]
-            outs = []
+            ws = {}
             for direction in range(2):
                 pref = f"l{layer}_d{direction}"
-                w_ih = self.param(f"{pref}_w_ih", init, (in_dim, 4 * self.hidden))
-                w_hh = self.param(f"{pref}_w_hh", init, (self.hidden, 4 * self.hidden))
-                b_ih = self.param(f"{pref}_b_ih", init, (4 * self.hidden,))
-                b_hh = self.param(f"{pref}_b_hh", init, (4 * self.hidden,))
-                xd = x if direction == 0 else jnp.flip(x, 1)
-                # one big [B, T, 4H] input projection on the MXU
-                xp = xd.astype(cd) @ w_ih.astype(cd) + (b_ih + b_hh).astype(cd)
-                w_hh_c = w_hh.astype(cd)
+                ws[direction] = (
+                    self.param(f"{pref}_w_ih", init, (in_dim, 4 * self.hidden)),
+                    self.param(f"{pref}_w_hh", init, (self.hidden, 4 * self.hidden)),
+                    self.param(f"{pref}_b_ih", init, (4 * self.hidden,)),
+                    self.param(f"{pref}_b_hh", init, (4 * self.hidden,)),
+                )
+            # Both directions run in ONE scan: the reverse direction's
+            # input is time-flipped and stacked on a leading axis, so the
+            # sequential dependency chain is traversed once, with both
+            # directions' recurrent matmuls batched per step.
+            w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)   # [2, in, 4H]
+            w_hh = jnp.stack([ws[0][1], ws[1][1]]).astype(cd)   # [2, H, 4H]
+            bias = jnp.stack([ws[0][2] + ws[0][3],
+                              ws[1][2] + ws[1][3]]).astype(cd)  # [2, 4H]
 
-                def step(carry, xt, w_hh_c=w_hh_c):
-                    h, c = carry  # h in compute dtype, c in float32
-                    gates = xt + h @ w_hh_c
-                    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, -1)
-                    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-                    h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(cd)
-                    return (h, c), h
+            xd = jnp.stack([x, jnp.flip(x, 1)]).astype(cd)      # [2, B, T, C]
+            xp = jnp.einsum("dbtc,dcg->dbtg", xd, w_ih) + bias[:, None, None]
 
-                b = x.shape[0]
-                h0 = jnp.zeros((b, self.hidden), cd)
-                c0 = jnp.zeros((b, self.hidden), jnp.float32)
-                _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xp, 0, 1))
-                ys = jnp.swapaxes(ys, 0, 1)
-                outs.append(ys if direction == 0 else jnp.flip(ys, 1))
-            x = jnp.concatenate(outs, -1)
+            def step(carry, xt, w_hh=w_hh):
+                h, c = carry  # h [2, B, H] compute dtype, c float32
+                gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
+                i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, -1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(cd)
+                return (h, c), h
+
+            b = x.shape[0]
+            h0 = jnp.zeros((2, b, self.hidden), cd)
+            c0 = jnp.zeros((2, b, self.hidden), jnp.float32)
+            _, ys = jax.lax.scan(step, (h0, c0), jnp.moveaxis(xp, 2, 0))
+            ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
+            x = jnp.concatenate([ys[0], jnp.flip(ys[1], 1)], -1)
         return x
 
 
