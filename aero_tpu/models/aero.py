@@ -259,7 +259,7 @@ class Aero(nn.Module):
                     time_attn=index >= self.dconv_time_attn,
                     depth=self.dconv_depth,
                     compress=self.dconv_comp,
-                    init=self.dconv_init,
+                    init_value=self.dconv_init,
                     act_func=self.act_func,
                     freq_dim=freqs // stri if freq else freqs,
                 ),

@@ -104,10 +104,15 @@ def rescale_tree(params, reference: float = 0.1):
     if not reference:
         return params
 
-    def walk(node):
+    def walk(node, path=()):
         if isinstance(node, dict):
             kernel = node.get("kernel")
-            if kernel is not None and hasattr(kernel, "ndim") and kernel.ndim == 3:
+            is_conv1d_like = (
+                kernel is not None and hasattr(kernel, "ndim")
+                and (kernel.ndim == 3
+                     # FTB's fused conv1d (rank-4 here, nn.Conv1d in torch)
+                     or (kernel.ndim == 4 and "conv1d_conv" in path)))
+            if is_conv1d_like:
                 std = jnp.std(kernel)
                 scale = jnp.sqrt(std / reference)
                 out = dict(node)
@@ -115,7 +120,7 @@ def rescale_tree(params, reference: float = 0.1):
                 if out.get("bias") is not None:
                     out["bias"] = out["bias"] / scale
                 return out
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
 
     return walk(params)

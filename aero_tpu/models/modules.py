@@ -493,14 +493,18 @@ class LocalState(nn.Module):
 
 
 class LayerScale(nn.Module):
-    """Diagonal residual rescale (src/models/modules.py:130-141)."""
+    """Diagonal residual rescale (src/models/modules.py:130-141).
+
+    NOTE: the field is ``init_value`` (not ``init`` like the reference
+    kwarg) because a field named ``init`` would shadow flax's
+    ``Module.init`` method."""
 
     channels: int
-    init: float = 0.0
+    init_value: float = 0.0
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.constant(self.init),
+        scale = self.param("scale", nn.initializers.constant(self.init_value),
                            (self.channels,))
         return scale.astype(x.dtype) * x
 
@@ -545,10 +549,18 @@ class FTB(nn.Module):
         h = BatchNorm(name="conv1_bn")(h, train)
         h = jax.nn.relu(h)
 
-        # [B, F, T, r] -> [B, T, r*F] (torch reshape [B, C*D, T] keeps
-        # channel-major order: index = c * F + f)
-        h = jnp.transpose(h, (0, 2, 3, 1)).reshape(b, t, self.r_channel * f)
-        h = Conv1d(self.in_channel, 9, padding=4, name="conv1d")(h)
+        # torch flattens [B, r, F, T] -> [B, r*F, T] and runs a k=9 conv1d
+        # over T contracting all r*F channels (modules.py:291-312). Here
+        # that is ONE 2-D conv: kernel (9 over T) x (F, full-width), no
+        # channel-major relayout (which dominated this block's time).
+        ht = jnp.swapaxes(h, 1, 2)  # [B, T, F, r]
+        kshape = (9, f, self.r_channel, self.in_channel)
+        h = nn.Conv(self.in_channel, (9, f), padding=[(4, 4), (0, 0)],
+                    dtype=compute_dtype(),
+                    kernel_init=tinit.conv_kernel_init,
+                    bias_init=tinit.conv_bias_init_for(kshape),
+                    name="conv1d_conv")(ht)  # [B, T, 1, C]
+        h = h[:, :, 0, :]
         h = BatchNorm(name="conv1d_bn")(h, train)
         h = jax.nn.relu(h)  # [B, T, C]
 
@@ -576,7 +588,7 @@ class DConv(nn.Module):
     channels: int
     compress: float = 4
     depth: int = 2
-    init: float = 1e-4
+    init_value: float = 1e-4  # named init in the reference; see LayerScale
     norm: bool = True
     time_attn: bool = False
     heads: int = 4
@@ -630,7 +642,8 @@ class DConv(nn.Module):
             if self.norm:
                 h = GroupNorm(1, name=f"layers_{d}_norm2")(h)
             h = glu(h, axis=-1)
-            h = LayerScale(self.channels, self.init, name=f"layers_{d}_scale")(h)
+            h = LayerScale(self.channels, self.init_value,
+                           name=f"layers_{d}_scale")(h)
             x = skip + h
 
         if self.reshape:

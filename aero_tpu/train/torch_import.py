@@ -81,6 +81,24 @@ def _aero_torch_key(path: tp.Tuple[str, ...]) -> tp.Tuple[str, tp.Callable]:
             return ".".join(out), ident
         if seg == "freq_attn_block":
             nxt = p[i + 1]
+            if nxt == "conv1d_conv":
+                # fused 2-D form of torch's FTB conv1d: torch weight
+                # [C, r*F, 9] (in-channel index = c_r * F + f, the
+                # channel-major flatten of modules.py:311) -> (9, F, r, C)
+                leaf = p[i + 2]
+                if leaf == "kernel":
+                    def tr(w):
+                        w = np.asarray(w)            # [C, r*F, 9]
+                        c_out, rf, k = w.shape
+                        # expected flax shape (k, F, r, C): infer r from FTB
+                        r = 5
+                        fdim = rf // r
+                        w = w.reshape(c_out, r, fdim, k)
+                        return np.transpose(w, (3, 2, 1, 0))
+                    out.append("freq_attn_block.conv1d.0.weight")
+                    return ".".join(out), tr
+                out.append("freq_attn_block.conv1d.0.bias")
+                return ".".join(out), ident
             if nxt in ("conv1", "conv1d", "conv2") and p[i + 2] == "conv":
                 name, transform = conv_leaf(p[i + 3])
                 out.append(f"freq_attn_block.{nxt}.0.{name}")
@@ -222,6 +240,13 @@ def export_aero_state(variables, freq_kernel_4d: bool = True):
         for path, leaf in _walk(variables[coll]):
             tkey, transform = _aero_torch_key(path)
             v = np.asarray(leaf)
+            if "conv1d_conv" in path and path[-1] == "kernel":
+                # inverse of the fused FTB conv1d mapping:
+                # (9, F, r, C) -> [C, r*F, 9]
+                k, fdim, r, c_out = v.shape
+                out[tkey] = np.transpose(v, (3, 2, 1, 0)).reshape(
+                    c_out, r * fdim, k)
+                continue
             if transform is _t_conv:
                 v = np.transpose(v, (2, 1, 0)) if v.ndim == 3 \
                     else np.transpose(v, (3, 2, 0, 1))
