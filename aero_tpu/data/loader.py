@@ -13,9 +13,9 @@ Replaces the reference's torch DataLoader + DistributedSampler stack
 
 from __future__ import annotations
 
-import queue
-import threading
+import collections
 import typing as tp
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -88,24 +88,25 @@ class Loader:
                 yield _stack([self.dataset[int(i)] for i in batch_idx])
             return
 
-        q: queue.Queue = queue.Queue(maxsize=4)
-        sentinel = object()
+        # Real worker pool: `num_workers` threads decode batches
+        # concurrently (audio decode releases the GIL in the native IO
+        # path); batches are yielded strictly in order. A bounded window
+        # of in-flight batches keeps memory in check while the
+        # accelerator runs the current step.
+        def build(batch_idx):
+            return _stack([self.dataset[int(i)] for i in batch_idx])
 
-        def producer():
+        window = self.num_workers + 2
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = collections.deque()
+            batches = self._batches()
             try:
-                for batch_idx in self._batches():
-                    q.put(_stack([self.dataset[int(i)] for i in batch_idx]))
-            except BaseException as e:  # propagate into consumer
-                q.put(e)
+                for batch_idx in batches:
+                    pending.append(pool.submit(build, batch_idx))
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
             finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+                for f in pending:
+                    f.cancel()

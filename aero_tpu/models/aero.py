@@ -23,11 +23,14 @@ in the reference.
 
 from __future__ import annotations
 
+import logging
 import typing as tp
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from aero_tpu.models.modules import (
     BatchNorm, ConcatConv2d, Conv1d, Conv2d, ConvTranspose2dFreq,
@@ -310,6 +313,13 @@ class Aero(nn.Module):
             mix = mix[:, None, :]
         length = mix.shape[-1]
 
+        # `debug` prints per-layer shapes at trace time (once per
+        # compile) — the reference's main debugging affordance
+        # (aero.py:450-516). Shapes are static under jit, so plain
+        # logging reproduces it faithfully.
+        if self.debug:
+            logger.info(f"aero in shape: {mix.shape}")
+
         z = self._spec(mix)  # [B, C, F, T] complex
         # complex-as-channels, channels-last: [B, F, T, 2C] with
         # channel order (c0_re, c0_im, c1_re, ...) matching aero.py:430-434
@@ -317,6 +327,8 @@ class Aero(nn.Module):
         x = jnp.stack([jnp.real(zc), jnp.imag(zc)], axis=-1)
         b, f, t, c, _ = x.shape
         x = x.reshape(b, f, t, c * 2)
+        if self.debug:
+            logger.info(f"x spec shape: {x.shape}")
 
         mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
         std = jnp.std(x, axis=(1, 2, 3), keepdims=True, ddof=1)
@@ -338,6 +350,8 @@ class Aero(nn.Module):
                 **p["kw"],
                 name=f"encoder_{p['index']}",
             )(x, train)
+            if self.debug:
+                logger.info(f"encoder {p['index']} out shape: {x.shape}")
             if p["index"] == 0 and self.freq_emb:
                 frs = jnp.arange(x.shape[1])
                 emb = ScaledEmbedding(x.shape[1], x.shape[-1],
@@ -362,6 +376,8 @@ class Aero(nn.Module):
                 **p["kw"],
                 name=f"decoder_{j}",
             )(x, skip, lengths.pop(-1), train)
+            if self.debug:
+                logger.info(f"decoder {j} out shape: {x.shape}")
 
         assert len(saved) == 0
 
@@ -371,8 +387,15 @@ class Aero(nn.Module):
         x_spec = jax.lax.complex(x[..., 0], x[..., 1])  # [B, F, T, out]
         x_spec = jnp.moveaxis(x_spec, -1, 1)  # [B, out, F, T]
 
+        if self.debug:
+            logger.info(f"x_spec_complex shape: {x_spec.shape}")
+
         out = self._ispec(x_spec)
+        if self.debug:
+            logger.info(f"aero out shape: {out.shape}")
         out = out[..., :int(length * self.scale)]
+        if self.debug:
+            logger.info(f"aero out - trimmed shape: {out.shape}")
 
         if return_spec:
             if return_lr_spec:

@@ -82,6 +82,8 @@ class Conv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    kernel_init: tp.Optional[tp.Callable] = None
+    bias_init: tp.Optional[tp.Callable] = None
 
     @nn.compact
     def __call__(self, x):
@@ -95,8 +97,8 @@ class Conv1d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=compute_dtype(),
-            kernel_init=tinit.conv_kernel_init,
-            bias_init=tinit.conv_bias_init_for(kshape),
+            kernel_init=self.kernel_init or tinit.conv_kernel_init,
+            bias_init=self.bias_init or tinit.conv_bias_init_for(kshape),
             name="conv",
         )(x)
 
@@ -397,19 +399,31 @@ class BLSTM(nn.Module):
         return x
 
 
-def _attend_block(keys, content, queries_b, decay_w_b, s_idx_b, t):
+def _attend_block(keys, content, queries_b, decay_w_b, s_idx_b, t,
+                  freq_q_b=None, nfreqs: int = 0):
     """Attention for one query block.
 
     keys/content: [B, T, H, C]; queries_b: [B, Q, H, C] (pre-scaled);
     decay_w_b: [B, Q, H] per-query decay weight; s_idx_b: [Q] global
-    query positions. Returns [B, Q, H, C].
+    query positions; freq_q_b: optional [B, Q, H, nfreqs] periodic
+    queries (reference modules.py:106-111). Returns [B, Q, H, C].
     """
     scores = jnp.einsum("bthc,bshc->bhts", keys, queries_b,
                         preferred_element_type=jnp.float32)
     t_idx = jnp.arange(t, dtype=scores.dtype)
-    delta = jnp.abs(t_idx[:, None] - s_idx_b[None, :].astype(scores.dtype))
+    sdelta = t_idx[:, None] - s_idx_b[None, :].astype(scores.dtype)  # [t, s]
+    delta = jnp.abs(sdelta)
     # decay bias is rank-1 in (t, s): -|t-s| * w[b,h,s]
     scores = scores - delta[None, None] * decay_w_b.transpose(0, 2, 1)[:, :, None, :]
+    if nfreqs:
+        # periodic positional bias (the reference's nfreqs branch,
+        # modules.py:106-111, NameError-dead there; implemented fixed):
+        # scores += sum_f cos(2*pi*delta/period_f) * freq_q[b,h,f,s]
+        periods = jnp.arange(1, nfreqs + 1, dtype=scores.dtype)
+        freq_kernel = jnp.cos(
+            2 * math.pi * sdelta[None] / periods[:, None, None])  # [f, t, s]
+        scores = scores + jnp.einsum(
+            "fts,bshf->bhts", freq_kernel, freq_q_b.astype(scores.dtype))
     # kill self reference (reference masked_fill with -100, modules.py:120)
     self_mask = t_idx[:, None] == s_idx_b[None, :].astype(scores.dtype)
     scores = jnp.where(self_mask[None, None], -100.0, scores)
@@ -435,6 +449,7 @@ class LocalState(nn.Module):
     channels: int
     heads: int = 4
     ndecay: int = 4
+    nfreqs: int = 0
     block_q: int = 256  # blockwise path kicks in for T > 2 * block_q
 
     @nn.compact
@@ -449,7 +464,14 @@ class LocalState(nn.Module):
         queries = queries / math.sqrt(ch)
 
         if self.ndecay:
-            decay_q = Conv1d(heads * self.ndecay, 1, name="query_decay")(x)
+            # Reference init: weight *= 0.01, bias = -2 so sigmoid starts
+            # near 0 -> maximum initial attention window (modules.py:85-88).
+            def decay_kernel_init(key, shape, dtype=jnp.float32):
+                return tinit.conv_kernel_init(key, shape, dtype) * 0.01
+
+            decay_q = Conv1d(heads * self.ndecay, 1, name="query_decay",
+                             kernel_init=decay_kernel_init,
+                             bias_init=nn.initializers.constant(-2.0))(x)
             decay_q = jax.nn.sigmoid(
                 decay_q.reshape(b, t, heads, self.ndecay)) / 2
             decays = jnp.arange(1, self.ndecay + 1, dtype=x.dtype)
@@ -458,15 +480,23 @@ class LocalState(nn.Module):
         else:
             decay_w = jnp.zeros((b, t, heads), x.dtype)
 
+        freq_q = None
+        if self.nfreqs:
+            freq_q = Conv1d(heads * self.nfreqs, 1, name="query_freqs")(x)
+            freq_q = freq_q.reshape(b, t, heads, self.nfreqs) \
+                / math.sqrt(self.nfreqs)
+
         from aero_tpu.ops import attention as fused_attn
 
-        if t > 2 * self.block_q and fused_attn.pallas_available():
+        use_pallas = (t > 2 * self.block_q and not self.nfreqs
+                      and fused_attn.pallas_available())
+        if use_pallas:
             # Flash-style Pallas kernel: no T x T materialization at all.
             result = fused_attn.fused_local_attention(queries, keys, content,
                                                       decay_w)
         elif t <= 2 * self.block_q:
             result = _attend_block(keys, content, queries, decay_w,
-                                   jnp.arange(t), t)
+                                   jnp.arange(t), t, freq_q, self.nfreqs)
         else:
             bq = self.block_q
             n_blocks = -(-t // bq)
@@ -478,12 +508,22 @@ class LocalState(nn.Module):
             w_blocks = w_p.reshape(b, n_blocks, bq, heads).transpose(
                 1, 0, 2, 3)
             s_blocks = (jnp.arange(n_blocks * bq).reshape(n_blocks, bq))
+            if self.nfreqs:
+                f_p = jnp.pad(freq_q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                f_blocks = f_p.reshape(
+                    b, n_blocks, bq, heads, self.nfreqs).transpose(
+                    1, 0, 2, 3, 4)
+            else:
+                f_blocks = jnp.zeros((n_blocks, b, bq, heads, 0), x.dtype)
 
             def body(_, args):
-                qb, wb, sb = args
-                return None, _attend_block(keys, content, qb, wb, sb, t)
+                qb, wb, sb, fb = args
+                return None, _attend_block(
+                    keys, content, qb, wb, sb, t,
+                    fb if self.nfreqs else None, self.nfreqs)
 
-            _, out = jax.lax.scan(body, None, (q_blocks, w_blocks, s_blocks))
+            _, out = jax.lax.scan(body, None,
+                                  (q_blocks, w_blocks, s_blocks, f_blocks))
             # [n_blocks, B, bq, H, C] -> [B, T, H, C]
             result = out.transpose(1, 0, 2, 3, 4).reshape(
                 b, n_blocks * bq, heads, ch)[:, :t]

@@ -227,9 +227,11 @@ class Solver:
                     self.best_states = self._copy_models_states()
 
             metrics = {**losses, **valid_losses}
-            if evaluation_loss:
+            # `is not None`, not truthiness: a legitimate 0.0 loss must
+            # still be recorded in history.
+            if evaluation_loss is not None:
                 metrics[METRICS_KEY_EVALUATION_LOSS] = evaluation_loss
-            if best_loss:
+            if best_loss is not None:
                 metrics[METRICS_KEY_BEST_LOSS] = best_loss
 
             if ((epoch + 1) % self.eval_every == 0
@@ -291,14 +293,20 @@ class Solver:
         return make_spec_fns(self.args, self.models["generator"])
 
     def _run_one_epoch(self, epoch):
-        total_losses = {}
-        total_loss = 0.0
         self.tr_loader.set_epoch(epoch)
         name = f"Train | Epoch {epoch + 1}"
         logprog = LogProgress(logger, self.tr_loader, updates=self.num_prints,
                               name=name)
 
         profile_step = (int(self.args.get("profile", 0)) and epoch == 0)
+        # Metrics stay ON DEVICE between log points: a per-step
+        # device_get would force a host round-trip per step (60-90 ms
+        # through the TPU tunnel) and defeat async dispatch. We
+        # accumulate with lazy jnp adds and fetch only when LogProgress
+        # is about to print (same cadence it uses internally).
+        n_batches = len(self.tr_loader)
+        log_every = max(1, n_batches // max(1, self.num_prints))
+        acc = None
         i = -1
         for i, (lr, hr) in enumerate(logprog):
             lr = pmesh.shard_batch(jnp.asarray(lr), self.mesh)
@@ -311,15 +319,18 @@ class Solver:
                     jax.block_until_ready(metrics)
             else:
                 self.state, metrics = self.train_step(self.state, lr, hr)
-            metrics = jax.device_get(metrics)
-            total_loss += float(metrics["total"])
-            for k, v in metrics.items():
-                if k == "total":
-                    continue
-                total_losses[k] = total_losses.get(k, 0.0) + float(v)
-            logprog.update(total_loss=format(total_loss / (i + 1), ".5f"))
+            acc = metrics if acc is None else jax.tree.map(
+                jnp.add, acc, metrics)
+            # LogProgress prints inside the NEXT __next__ when the new
+            # index hits a log_every multiple; refresh infos just before.
+            if (i + 1) % log_every == 0:
+                running = float(jax.device_get(acc["total"])) / (i + 1)
+                logprog.update(total_loss=format(running, ".5f"))
 
         n = i + 1 if i >= 0 else 1
+        host = jax.device_get(acc) if acc is not None else {"total": 0.0}
+        total_loss = float(host.pop("total"))
+        total_losses = {k: float(v) for k, v in host.items()}
         avg = {"total": total_loss / n, "evaluation": total_loss / n}
         avg.update({k: v / n for k, v in total_losses.items()})
         self.eval_forward.update_state(self.state)

@@ -9,7 +9,32 @@ so tests/CI can force CPU via ``AERO_PLATFORM=cpu`` (optionally with
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def machine_namespace() -> str:
+    """Short fingerprint of this host's CPU, to namespace the persistent
+    XLA compile cache. XLA:CPU caches AOT-compiled code specialized to
+    the compiling machine's CPU features; reusing it on a different host
+    risks SIGILL ("machine feature mismatch" warnings). Keying the cache
+    dir by CPU model isolates heterogeneous hosts from each other."""
+    import platform as _plat
+
+    desc = f"{_plat.machine()};{_plat.processor()}"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    desc += ";" + line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(desc.encode()).hexdigest()[:12]
+
+
+def cache_dir_for(base: str) -> str:
+    return os.path.join(base, machine_namespace())
 
 
 def select_platform_from_env() -> None:
@@ -28,8 +53,7 @@ def select_platform_from_env() -> None:
 
     # Persistent compilation cache: repeat CLI invocations skip XLA
     # recompiles (first compile of the full model is minutes).
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or cache_dir_for(
         os.path.join(os.path.expanduser("~"), ".cache", "aero_tpu",
                      "jax_cache"))
     try:

@@ -16,8 +16,9 @@ Prints ONE JSON line:
   {"metric": "realtime_factor", "value": N, "unit": "audio_sec_per_sec",
    "vs_baseline": N / 10.0}
 
-Env overrides: AERO_BENCH_BATCH (default 4), AERO_BENCH_ITERS (default 5),
-plus any config override args (e.g. ``precision=bfloat16``).
+Env overrides: AERO_BENCH_BATCH (default 16 — the recorded numbers are
+batch-16 amortized throughput), AERO_BENCH_ITERS (default 5), plus any
+config override args (e.g. ``precision=float32``).
 """
 
 from __future__ import annotations

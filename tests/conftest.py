@@ -18,6 +18,11 @@ jax.config.update("jax_platforms", os.environ.get("AERO_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# Namespaced per machine — XLA:CPU AOT code is specialized to the
+# compiling host's CPU features (reuse elsewhere risks SIGILL).
+from aero_tpu.utils.platform import cache_dir_for  # noqa: E402
+
+_cache_dir = cache_dir_for(os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -22,7 +22,10 @@ def run_cli(script, overrides, cwd):
     env["JAX_PLATFORMS"] = "cpu"
     env["AERO_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    from aero_tpu.utils.platform import cache_dir_for
+
+    env["JAX_COMPILATION_CACHE_DIR"] = cache_dir_for(
+        os.path.join(REPO, ".jax_cache"))
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     cmd = [sys.executable, os.path.join(REPO, script)] + overrides
     proc = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
