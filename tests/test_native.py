@@ -118,3 +118,73 @@ def test_audio_tool_cli(tmp_path):
 
     proc = subprocess.run([tool, "info", dst], capture_output=True, text=True)
     assert "sample_rate=16000" in proc.stdout
+
+
+def test_visqol_graded_degradation_suite(tmp_path):
+    """Full-pipeline scorer behavior on a graded ladder (speech mode):
+    identical -> 5.0 exactly (v3's scaled speech mapping); quality
+    strictly monotone in degradation: bandlimit-8k > bandlimit-4k >
+    heavy noise ~= unrelated ~= 1. Windows reflect published ViSQOL
+    behavior (narrowband speech ~3.5, unrelated ~1)."""
+    from aero_tpu.data.prep import make_speech_like
+    from aero_tpu.ops.resample import resample_np
+
+    sr = 16000
+    sig = make_speech_like(sr, 3.0, seed=0)[None]
+    rng = np.random.default_rng(7)
+
+    def bandlimit(x, mid_sr):
+        y = resample_np(x, sr, mid_sr)
+        return resample_np(y, mid_sr, sr)[:, :x.shape[-1]]
+
+    def noisy(x, snr_db):
+        n = rng.standard_normal(x.shape).astype(np.float32)
+        n *= np.sqrt((x ** 2).mean() / (n ** 2).mean() / 10 ** (snr_db / 10))
+        return x + n
+
+    s_same = _run_visqol(sig, sig, tmp_path)
+    s_bl8 = _run_visqol(sig, bandlimit(sig, 8000), tmp_path)
+    s_bl4 = _run_visqol(sig, bandlimit(sig, 4000), tmp_path)
+    s_noise = _run_visqol(sig, noisy(sig, 10), tmp_path)
+    s_unrel = _run_visqol(sig, make_speech_like(sr, 3.0, seed=99)[None],
+                          tmp_path)
+
+    assert abs(s_same - 5.0) <= 0.1, s_same
+    assert s_same > s_bl8 > s_bl4 > s_noise, (s_same, s_bl8, s_bl4, s_noise)
+    assert 3.0 <= s_bl8 <= 4.2, s_bl8
+    assert 1.7 <= s_bl4 <= 3.0, s_bl4
+    assert s_noise <= 1.7, s_noise
+    assert s_unrel <= 1.3, s_unrel
+
+
+def test_visqol_alignment_invariance(tmp_path):
+    """Global + patch alignment: a time-shifted identical signal must
+    still score at the ceiling (the reference pipeline's ViSQOL aligns
+    degraded to reference before scoring)."""
+    from aero_tpu.data.prep import make_speech_like
+
+    sr = 16000
+    sig = make_speech_like(sr, 3.0, seed=1)[None]
+    shifted = np.concatenate(
+        [np.zeros((1, sr // 4), np.float32), sig], axis=-1)
+    s = _run_visqol(sig, shifted, tmp_path)
+    assert s >= 4.8, s
+    s2 = _run_visqol(sig, sig[:, int(0.13 * sr):], tmp_path)
+    assert s2 >= 4.8, s2
+
+
+def test_visqol_audio_mode_ceiling(tmp_path):
+    """Audio mode (48 kHz, 32 bands) saturates at the SVR ceiling 4.732."""
+    from aero_tpu.data import audio_io as aio
+    from aero_tpu.data.prep import make_speech_like
+
+    sig = make_speech_like(48000, 2.0, seed=2)[None]
+    rp, dp = str(tmp_path / "r48.wav"), str(tmp_path / "d48.wav")
+    aio.save(rp, sig, 48000)
+    aio.save(dp, sig, 48000)
+    proc = subprocess.run(
+        f"cd {NATIVE}; ./bazel-bin/visqol --reference_file {rp} "
+        f"--degraded_file {dp}", shell=True, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT)
+    score = float(proc.stdout.decode().split("\t")[-1].strip())
+    assert abs(score - 4.732) <= 0.1, score
