@@ -57,3 +57,27 @@ def test_fused_gradients_match_reference():
     g_ref = jax.grad(loss_ref)((q, k, v, w))
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_backward_kernel_exact():
+    """The flash-style Pallas backward (O(T*C) memory) vs the dense vjp.
+
+    Ragged T (pad-masking in the recomputed softmax), tiny head dim like
+    the real model (C'=6), nonlinear downstream loss so every grad path
+    (dq/dk/dv/dw incl. the zeroed self-mask diagonal) is exercised.
+    Target tolerance from VERDICT item 4: <= 1e-5 relative.
+    """
+    q, k, v, w = _inputs(t=700, h=4, c=6, seed=3)
+
+    def loss_fused(args):
+        return jnp.sum(jnp.sin(attn.fused_local_attention(*args)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.sin(attn.reference_attention(*args)))
+
+    g_fused = jax.grad(loss_fused)((q, k, v, w))
+    g_ref = jax.grad(loss_ref)((q, k, v, w))
+    for name, a, b in zip("qkvw", g_fused, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert err < 1e-5, f"d{name} rel err {err}"
