@@ -81,24 +81,6 @@ def _aero_torch_key(path: tp.Tuple[str, ...]) -> tp.Tuple[str, tp.Callable]:
             return ".".join(out), ident
         if seg == "freq_attn_block":
             nxt = p[i + 1]
-            if nxt == "conv1d_conv":
-                # fused 2-D form of torch's FTB conv1d: torch weight
-                # [C, r*F, 9] (in-channel index = c_r * F + f, the
-                # channel-major flatten of modules.py:311) -> (9, F, r, C)
-                leaf = p[i + 2]
-                if leaf == "kernel":
-                    def tr(w):
-                        w = np.asarray(w)            # [C, r*F, 9]
-                        c_out, rf, k = w.shape
-                        # expected flax shape (k, F, r, C): infer r from FTB
-                        r = 5
-                        fdim = rf // r
-                        w = w.reshape(c_out, r, fdim, k)
-                        return np.transpose(w, (3, 2, 1, 0))
-                    out.append("freq_attn_block.conv1d.0.weight")
-                    return ".".join(out), tr
-                out.append("freq_attn_block.conv1d.0.bias")
-                return ".".join(out), ident
             if nxt in ("conv1", "conv1d", "conv2") and p[i + 2] == "conv":
                 name, transform = conv_leaf(p[i + 3])
                 out.append(f"freq_attn_block.{nxt}.0.{name}")
@@ -240,13 +222,6 @@ def export_aero_state(variables, freq_kernel_4d: bool = True):
         for path, leaf in _walk(variables[coll]):
             tkey, transform = _aero_torch_key(path)
             v = np.asarray(leaf)
-            if "conv1d_conv" in path and path[-1] == "kernel":
-                # inverse of the fused FTB conv1d mapping:
-                # (9, F, r, C) -> [C, r*F, 9]
-                k, fdim, r, c_out = v.shape
-                out[tkey] = np.transpose(v, (3, 2, 1, 0)).reshape(
-                    c_out, r * fdim, k)
-                continue
             if transform is _t_conv:
                 v = np.transpose(v, (2, 1, 0)) if v.ndim == 3 \
                     else np.transpose(v, (3, 2, 0, 1))
@@ -257,6 +232,42 @@ def export_aero_state(variables, freq_kernel_4d: bool = True):
             elif _is_transpose(transform):
                 v = v.T  # linear-kernel/freq_fc/lstm-weight transposes
             out[tkey] = v
+    return out
+
+
+def melgan_torch_prefix(disc: str, layer: str, n_layers: int) -> str:
+    """Torch key prefix for a melgan discriminator (flax ``disc_i/layer_n``).
+
+    Reference layout (src/models/discriminators.py:14-56): ``layer_0`` is
+    Sequential(ReflectionPad, WNConv) -> index ``.1``; the final layer is a
+    bare WNConv; intermediate layers are Sequential(WNConv, LeakyReLU) ->
+    index ``.0``.
+    """
+    base = f"model.{disc}.model.{layer}"
+    if layer == "layer_0":
+        return base + ".1"
+    if layer == f"layer_{n_layers + 2}":
+        return base
+    return base + ".0"
+
+
+def import_melgan_state(state_dict: tp.Mapping[str, np.ndarray], params,
+                        n_layers: int):
+    """Map a reference melgan Discriminator state_dict (or any same-keyed
+    tensor dict, e.g. gradients) onto our flax params tree.
+
+    All transforms are linear (transpose/reshape), so the same mapping is
+    valid for gradients."""
+    import jax
+
+    out = jax.tree.map(np.asarray, dict(params))
+    for di, dtree in out.items():
+        for ln, ltree in dtree.items():
+            pref = melgan_torch_prefix(di, ln, n_layers)
+            ltree["v"] = np.transpose(
+                np.asarray(state_dict[f"{pref}.weight_v"]), (2, 1, 0))
+            ltree["g"] = np.asarray(state_dict[f"{pref}.weight_g"]).reshape(-1)
+            ltree["bias"] = np.asarray(state_dict[f"{pref}.bias"])
     return out
 
 
