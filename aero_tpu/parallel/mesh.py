@@ -38,13 +38,65 @@ def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
     """Device_put a host batch (pytree of [B, ...] arrays) split on dp.
 
-    One device_put over the whole tree: transfers are batched, which
-    matters hugely on remote-tunneled runtimes."""
-    return jax.device_put(batch, batch_sharding(mesh, axis_name))
+    Single-process: one device_put over the whole tree (transfers are
+    batched, which matters hugely on remote-tunneled runtimes).
+    Multi-process: each process holds only its LOCAL shard of the global
+    batch (the loader already rank-shards examples, reference
+    train.py:50-51 batch //= world_size), so the global array is
+    assembled from per-process local data."""
+    sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
+    return jax.device_put(batch, sharding)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    """Replicate a host tree onto every device of the mesh.
+
+    Multi-process: ``jax.device_put`` of host arrays onto a multi-host
+    sharding runs a per-leaf cross-process ``assert_equal`` allgather —
+    hundreds of tiny gloo/ICI collectives whose context setup has a 30 s
+    rendezvous deadline; any compile-time skew between ranks kills the
+    job. Params are identically seeded/loaded on every rank by
+    construction, so build the global arrays from process-local data
+    instead (no collective at all)."""
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
+
+
+def local_state(tree):
+    """Process-local copy of a (possibly globally-replicated) tree.
+
+    Eval/valid passes run per-process on per-rank file shards of unequal
+    sizes (reference Subset(range(rank, N, world)) semantics,
+    src/ddp/distrib.py:100); a jit over globally-sharded state would be
+    a collective program requiring lockstep across processes and would
+    deadlock on ragged shards. Single-process: returns the tree as-is.
+    """
+    if jax.process_count() == 1:
+        return tree
+    host = jax.device_get(tree)
+    return jax.device_put(host, jax.local_devices()[0])
+
+
+def coordination_barrier(name: str = "aero", timeout_ms: int = 1_800_000):
+    """Cross-process barrier over the coordination service (gRPC), NOT a
+    device collective. Device-collective contexts (gloo on CPU) have a
+    hard ~30 s rendezvous deadline, so any compile-time skew between
+    ranks at the FIRST collective kills the job; this barrier tolerates
+    arbitrarily long skew. Used to line ranks up after big compiles."""
+    if jax.process_count() > 1:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def barrier(name: str = "aero_barrier") -> None:

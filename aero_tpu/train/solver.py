@@ -64,7 +64,8 @@ class Solver:
         lr_sr = int(exp.hr_sr if exp.get("upsample", False) else exp.lr_sr)
         return_spec = exp.model == "aero"
         self.eval_forward = EvalForward(
-            models["generator"], self.state, scale=scale, lr_sr=lr_sr,
+            models["generator"], pmesh.local_state(self.state), scale=scale,
+            lr_sr=lr_sr,
             bucket_s=float(args.get("eval_bucket_s", 1.0)),
             return_spec=return_spec)
 
@@ -82,6 +83,7 @@ class Solver:
 
         self.history: list = []
         self.best_states = None
+        self._step_warmed = False
         self._reset()
 
     # ------------------------------------------------------------------
@@ -138,7 +140,7 @@ class Solver:
                 if keep_history:
                     self.history = ckpt.history_from_package(package)
                 self.best_states = ckpt.best_states_from_package(package)
-            self.eval_forward.update_state(self.state)
+            self.eval_forward.update_state(pmesh.local_state(self.state))
 
     def _load_torch(self, path, load_best):
         from aero_tpu.train import torch_import
@@ -246,7 +248,7 @@ class Solver:
                     swapped = True
                 else:
                     logger.info("Using last state.")
-                self.eval_forward.update_state(eval_state)
+                self.eval_forward.update_state(pmesh.local_state(eval_state))
                 eval_start = time.time()
 
                 if evaluated_on_test and enhanced_filenames:
@@ -264,7 +266,8 @@ class Solver:
                 metrics[METRICS_KEY_LSD] = lsd
                 metrics[METRICS_KEY_VISQOL] = visqol
                 if swapped:
-                    self.eval_forward.update_state(self.state)
+                    self.eval_forward.update_state(
+                        pmesh.local_state(self.state))
 
             wandb_logger.log_metrics(metrics, step=epoch)
             self.history.append(metrics)
@@ -311,6 +314,14 @@ class Solver:
         for i, (lr, hr) in enumerate(logprog):
             lr = pmesh.shard_batch(jnp.asarray(lr), self.mesh)
             hr = pmesh.shard_batch(jnp.asarray(hr), self.mesh)
+            if i == 0 and not self._step_warmed and jax.process_count() > 1:
+                # Compile the step BEFORE its first (collective) execution
+                # and line ranks up over the coordination service: the
+                # first gloo/ICI context rendezvous has a ~30 s deadline,
+                # far less than cross-rank compile skew.
+                self.train_step.lower(self.state, lr, hr).compile()
+                pmesh.coordination_barrier("first_train_step")
+                self._step_warmed = True
             if profile_step and i == 1:  # step 0 compiles; trace step 1
                 from aero_tpu.utils.profiling import trace
 
@@ -333,7 +344,7 @@ class Solver:
         total_losses = {k: float(v) for k, v in host.items()}
         avg = {"total": total_loss / n, "evaluation": total_loss / n}
         avg.update({k: v / n for k, v in total_losses.items()})
-        self.eval_forward.update_state(self.state)
+        self.eval_forward.update_state(pmesh.local_state(self.state))
         return avg
 
     def _valid_epoch(self, loader, epoch):
@@ -342,13 +353,14 @@ class Solver:
         total_loss = 0.0
         logprog = LogProgress(logger, loader, updates=self.num_prints,
                               name=f"Valid | Epoch {epoch + 1}")
+        lstate = pmesh.local_state(self.state)
         i = -1
         for i, (lr, hr) in enumerate(logprog):
             out = self.eval_forward(lr)
             pr = out[0] if isinstance(out, tuple) else out
             pr = match_signal(pr, hr.shape[-1])
             metrics = jax.device_get(self.valid_loss_fn(
-                self.state, jnp.asarray(pr), jnp.asarray(hr)))
+                lstate, jnp.asarray(pr), jnp.asarray(hr)))
             total_loss += float(metrics["total"])
             for k, v in metrics.items():
                 if k != "total":
@@ -369,6 +381,7 @@ class Solver:
                               updates=self.num_prints,
                               name=f"Valid | Epoch {epoch + 1}")
         exp = self.args.experiment
+        lstate = pmesh.local_state(self.state)
         i = -1
         for i, data in enumerate(logprog):
             (lr, lr_paths), (hr, hr_paths) = data
@@ -394,7 +407,7 @@ class Solver:
                                os.path.join(self.samples_dir, filename))
 
             metrics = jax.device_get(self.valid_loss_fn(
-                self.state, jnp.asarray(pr), jnp.asarray(hr)))
+                lstate, jnp.asarray(pr), jnp.asarray(hr)))
             total_loss += float(metrics["total"])
             for k, v in metrics.items():
                 if k != "total":

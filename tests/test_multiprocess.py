@@ -1,0 +1,165 @@
+"""Multi-process (multi-host-model) execution test.
+
+The reference's DDP actually ran N processes over NCCL
+(/root/reference/src/ddp/executor.py:50-75, distrib.py:16-55). Our
+equivalent is the JAX process model: here we launch 2 local processes
+(1 CPU device each -> a 2-device global mesh with gloo collectives),
+drive the REAL train.py CLI in both, and verify:
+
+- `jax.distributed.initialize` rendezvous from env vars,
+- rank-sharded loaders + global batch assembly
+  (`make_array_from_process_local_data`),
+- the fused GAN train step over the global mesh,
+- per-rank valid/eval with process-local state,
+- cross-process LSD averaging (`global_weighted_average`),
+- rank-0-only checkpoint + history writes,
+- parity: the 2-process run reproduces the single-process run's
+  first-epoch training loss (same global batch order, same updates).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+BASE = [
+    "experiment=tiny",
+    "dset=debug",
+    "epochs=1",
+    "eval_every=1",
+    "cross_valid=true",
+    "cross_valid_every=1",
+    "visqol=false",
+    "num_workers=0",
+    "eval_bucket_s=0.5",
+    "experiment.batch_size=4",
+    "seed=1234",
+]
+
+
+def _env(n_devices, rank=None, port=None, nprocs=None):
+    env = dict(os.environ)
+    env["AERO_PLATFORM"] = "cpu"
+    env["AERO_NUM_CPU_DEVICES"] = str(n_devices)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from aero_tpu.utils.platform import cache_dir_for
+
+    env["JAX_COMPILATION_CACHE_DIR"] = cache_dir_for(
+        os.path.join(REPO, ".jax_cache"))
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+    if rank is not None:
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = str(nprocs)
+        env["JAX_PROCESS_ID"] = str(rank)
+    return env
+
+
+def _overrides(wd):
+    return BASE + [
+        f"dset.train={wd}/egs/tr",
+        f"dset.valid={wd}/egs/val",
+        f"dset.test={wd}/egs/val",
+    ]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from aero_tpu.data.prep import make_dummy_dataset
+
+    wd = tmp_path_factory.mktemp("mp")
+    make_dummy_dataset(str(wd / "egs"), n_files=6, duration=1.2)
+    return wd
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(workdir):
+    wd = str(workdir)
+    train = os.path.join(REPO, "train.py")
+
+    # --- single-process run, the oracle (1 device; the global batch
+    # composition per step is then identical to the 2-process run's union)
+    sp_dir = os.path.join(wd, "single")
+    os.makedirs(sp_dir, exist_ok=True)
+    proc = subprocess.run(
+        [sys.executable, train] + _overrides(workdir),
+        cwd=sp_dir, env=_env(1), capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    # --- 2-process run (1 device each -> 2-device global mesh over gloo)
+    mp_dir = os.path.join(wd, "multi")
+    os.makedirs(mp_dir, exist_ok=True)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, train] + _overrides(workdir),
+            cwd=mp_dir, env=_env(1, rank=r, port=port, nprocs=2),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=1500) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed\n{so[-3000:]}\n{se[-3000:]}"
+
+    run_rel = os.path.join("outputs", "debug", "tiny-nfft=512-hl=64")
+    sp_run, mp_run = (os.path.join(d, run_rel) for d in (sp_dir, mp_dir))
+
+    # rank-0-only artifacts exist exactly once
+    assert os.path.exists(os.path.join(mp_run, "checkpoint.atpu"))
+    with open(os.path.join(sp_run, "history.json")) as f:
+        sp_hist = json.load(f)
+    with open(os.path.join(mp_run, "history.json")) as f:
+        mp_hist = json.load(f)
+    assert len(sp_hist) == len(mp_hist) == 1
+
+    # both processes saw jax.distributed (the log proves initialize ran)
+    logs = [open(os.path.join(mp_run, f)).read()
+            for f in os.listdir(mp_run) if f.startswith("trainer.log")]
+    assert any("process 0/2" in l for l in logs), "rank 0 never initialized"
+
+    # training-loss parity: same seed + same global shuffle -> the global
+    # batches are identical, so the (replicated) updates and epoch losses
+    # must match the single-process oracle to float tolerance.
+    np.testing.assert_allclose(mp_hist[0]["total_loss"],
+                               sp_hist[0]["total_loss"], rtol=1e-5)
+
+    # eval metrics were averaged across ranks and are finite
+    assert "Average lsd" in mp_hist[0]
+    assert np.isfinite(mp_hist[0]["Average lsd"])
+    np.testing.assert_allclose(mp_hist[0]["Average lsd"],
+                               sp_hist[0]["Average lsd"], rtol=5e-2)
+
+    # checkpoint parity: params from both runs agree (replicated update)
+    from aero_tpu.train import checkpoint as ckpt
+    import jax
+
+    sp_pkg = ckpt.load_package(os.path.join(sp_run, "checkpoint.atpu"))
+    mp_pkg = ckpt.load_package(os.path.join(mp_run, "checkpoint.atpu"))
+    sp_leaves = jax.tree.leaves(sp_pkg["models"]["generator"]["params"])
+    mp_leaves = jax.tree.leaves(mp_pkg["models"]["generator"]["params"])
+    assert len(sp_leaves) == len(mp_leaves)
+    # Adam saturates each element's update at ~lr=3e-4; where |grad| is
+    # near eps, reduction-order noise flips the sign for the odd element
+    # (up to 2*lr*steps). Require near-exact agreement for the bulk and
+    # only vanishingly-rare eps-region outliers.
+    diff = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(sp_leaves, mp_leaves)])
+    n_steps = len(sp_hist)  # epochs; a handful of optimizer steps each
+    assert np.quantile(diff, 0.99) < 2e-4, np.quantile(diff, 0.99)
+    # no element may drift beyond the eps-flip bound (~2*lr per step)
+    assert diff.max() < 2.5 * 3e-4 * max(3 * n_steps, 1), diff.max()

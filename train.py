@@ -48,7 +48,15 @@ def maybe_init_distributed(args):
         os.environ.get("COORDINATOR_ADDRESS")
     if bool(args.get("ddp")) or coord:
         try:
-            jax.distributed.initialize()
+            kw = {}
+            # Explicit rendezvous (no cluster auto-detect plugin exists for
+            # plain multi-process CPU/GPU pools): JAX_COORDINATOR_ADDRESS +
+            # JAX_NUM_PROCESSES + JAX_PROCESS_ID mirror initialize()'s kwargs.
+            if coord and os.environ.get("JAX_NUM_PROCESSES"):
+                kw = dict(coordinator_address=coord,
+                          num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                          process_id=int(os.environ["JAX_PROCESS_ID"]))
+            jax.distributed.initialize(**kw)
             logger.info(
                 f"jax.distributed initialized: process "
                 f"{jax.process_index()}/{jax.process_count()}")
