@@ -109,9 +109,7 @@ def rescale_tree(params, reference: float = 0.1):
             kernel = node.get("kernel")
             is_conv1d_like = (
                 kernel is not None and hasattr(kernel, "ndim")
-                and (kernel.ndim == 3
-                     # FTB's fused conv1d (rank-4 here, nn.Conv1d in torch)
-                     or (kernel.ndim == 4 and "conv1d_conv" in path)))
+                and kernel.ndim == 3)
             if is_conv1d_like:
                 std = jnp.std(kernel)
                 scale = jnp.sqrt(std / reference)

@@ -257,26 +257,89 @@ class ConcatConv2d(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch GroupNorm(groups, C) on channels-last input."""
+    """torch GroupNorm(groups, C) on channels-last input.
+
+    Stats in float32 via fused reductions (no materialized f32 copy —
+    the upcast folds into the reduce), normalization in the compute
+    dtype. Param layout matches flax nn.GroupNorm (child ``gn`` with
+    scale/bias) so checkpoints and the torch-import shim are unchanged.
+    """
 
     groups: int
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="gn")(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        return _RawGroupNorm(self.groups, name="gn")(x)
+
+
+class _RawGroupNorm(nn.Module):
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        b = x.shape[0]
+        xg = x.reshape(b, -1, g, c // g)  # [B, spatial, G, C/G]
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)     # [B,1,G,1]
+        var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        y = y.reshape(x.shape)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class BatchNorm(nn.Module):
-    """torch BatchNorm (momentum 0.1 -> flax momentum 0.9) on channels-last."""
+    """torch BatchNorm (momentum 0.1 -> flax momentum 0.9) on channels-last.
+
+    Stats are computed in float32 (the f32-island convention) but WITHOUT
+    materializing an f32 copy of the activation: the upcast feeds straight
+    into XLA's fused reductions, and the normalization itself runs in the
+    compute dtype. On bf16 enc0-sized tensors ([8,256,2501,48]) the old
+    `x.astype(f32)` round-trip alone cost ~2.4 ms of HBM traffic."""
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="bn")(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+    def __call__(self, x, train: bool, axis: int = -1):
+        return _RawBatchNorm(name="bn")(x, train, axis)
+
+
+class _RawBatchNorm(nn.Module):
+    """Param/stat layout identical to flax nn.BatchNorm (scale/bias +
+    batch_stats mean/var) so checkpoints and the torch-import shim keep
+    working. ``axis`` is the channel axis (stats per channel over all
+    other axes)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool, axis: int = -1):
+        axis = axis % x.ndim
+        c = x.shape[axis]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        axes = tuple(a for a in range(x.ndim) if a != axis)
+        if train:
+            xf = x.astype(jnp.float32)  # fused into the reduces below
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(xf * xf, axis=axes) - mean * mean
+            if not self.is_initializing():
+                n = np.prod([x.shape[a] for a in axes])
+                unbiased = var * (n / max(n - 1, 1))  # torch running_var
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        shape = [1] * x.ndim
+        shape[axis] = c
+        # single fused elementwise pass in the compute dtype
+        return (x * inv.astype(x.dtype).reshape(shape)
+                + (bias - mean * inv).astype(x.dtype).reshape(shape))
 
 
 class Snake(nn.Module):
@@ -572,10 +635,43 @@ class ScaledEmbedding(nn.Module):
         return weight[idx] * self.scale
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params (child scope ``conv`` holding
+    ``kernel`` [*k, in, out] + ``bias``) WITHOUT applying a conv, so the
+    caller can fuse the projection into a layout-changing einsum while
+    keeping the checkpoint tree identical to a real Conv module."""
+
+    kshape: tp.Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            kshape: tp.Tuple[int, ...]
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", tinit.conv_kernel_init, self.kshape)
+                b = self.param("bias", tinit.conv_bias_init_for(self.kshape),
+                               (self.kshape[-1],))
+                return k, b
+
+        return _Inner(self.kshape, name="conv")()
+
+
 class FTB(nn.Module):
     """Frequency transform block / T-F attention (src/models/modules.py:279-325).
 
     Input/output [B, F, T, C] with F == ``input_dim``, C == ``in_channel``.
+
+    Layout note (the perf-critical design point): torch computes a 1x1
+    conv down to ``r_channel=5`` channels, flattens [B, r, F, T] ->
+    [B, r*F, T] and runs a k=9 conv1d over T (modules.py:291-312). A
+    naive channels-last port keeps r=5 on the LANE dimension — TPU pads
+    lanes 5 -> 128, a 25x HBM-traffic tax (~16 ms of enc0's 40 ms).
+    Here the 1x1 projection is fused into a relayout einsum producing
+    [B, T, r, F] (lanes = F), reshaped r-major to [B, T, r*F] — exactly
+    torch's flatten order — and the conv1d runs as a single MXU GEMM
+    over 1280 lane-aligned input features.
     """
 
     input_dim: int
@@ -585,22 +681,14 @@ class FTB(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         b, f, t, c = x.shape
-        h = Conv2d(self.r_channel, (1, 1), name="conv1")(x)
-        h = BatchNorm(name="conv1_bn")(h, train)
+        k1, b1 = _ConvParams((1, 1, c, self.r_channel), name="conv1")()
+        h = jnp.einsum("bftc,cr->btrf", x, k1[0, 0].astype(x.dtype))
+        h = h + b1.astype(h.dtype)[:, None]
+        h = BatchNorm(name="conv1_bn")(h, train, axis=-2)
         h = jax.nn.relu(h)
 
-        # torch flattens [B, r, F, T] -> [B, r*F, T] and runs a k=9 conv1d
-        # over T contracting all r*F channels (modules.py:291-312). Here
-        # that is ONE 2-D conv: kernel (9 over T) x (F, full-width), no
-        # channel-major relayout (which dominated this block's time).
-        ht = jnp.swapaxes(h, 1, 2)  # [B, T, F, r]
-        kshape = (9, f, self.r_channel, self.in_channel)
-        h = nn.Conv(self.in_channel, (9, f), padding=[(4, 4), (0, 0)],
-                    dtype=compute_dtype(),
-                    kernel_init=tinit.conv_kernel_init,
-                    bias_init=tinit.conv_bias_init_for(kshape),
-                    name="conv1d_conv")(ht)  # [B, T, 1, C]
-        h = h[:, :, 0, :]
+        h = h.reshape(b, t, self.r_channel * f)  # r-major == torch flatten
+        h = Conv1d(self.in_channel, 9, padding=4, name="conv1d")(h)
         h = BatchNorm(name="conv1d_bn")(h, train)
         h = jax.nn.relu(h)  # [B, T, C]
 
@@ -608,10 +696,20 @@ class FTB(nn.Module):
 
         w = self.param("freq_fc", tinit.linear_kernel_init,
                        (self.input_dim, self.input_dim))
+        # conv2 is a 1x1 over cat(freq_fc(att), x): expressed as channel
+        # matmuls with the kernel split on the input-channel axis (concat
+        # never materialized). The channel mix (conv2's att half) and the
+        # freq mix (freq_fc) commute, and applying the channel mix FIRST
+        # sidesteps an XLA fusion pathology measured at ~18 ms in enc0
+        # (the einsum->conv_general_dilated pair triggered recomputing
+        # relayouts per tile; pure dots are ~4x faster end-to-end).
+        k2, b2 = _ConvParams((1, 1, 2 * c, self.in_channel), name="conv2")()
+        cd = x.dtype
+        ka, kb = k2[0, 0, :c].astype(cd), k2[0, 0, c:].astype(cd)
+        m = att @ ka  # [B, F, T, C'] channel-mixed
         # torch Linear over the freq axis: out[f'] = sum_f att[f] W[f', f]
-        att = jnp.einsum("gf,bftc->bgtc", w.T.astype(att.dtype), att)
-
-        h = ConcatConv2d(self.in_channel, (1, 1), name="conv2")(att, x)
+        m = jnp.einsum("gf,bftc->bgtc", w.T.astype(cd), m)
+        h = m + x @ kb + b2.astype(cd)
         h = BatchNorm(name="conv2_bn")(h, train)
         return jax.nn.relu(h)
 
