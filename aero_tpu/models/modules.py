@@ -365,18 +365,26 @@ class LSTM(nn.Module):
     """Multi-layer bidirectional LSTM, torch-compatible gates/init.
 
     Input/output: [B, T, C]; output feature size = 2 * hidden.
-    The time recursion is a ``lax.scan`` whose per-step work is one
-    [B, H] x [H, 4H] matmul; the input projection for all steps is a
-    single batched matmul done up front.
+    Two backends with identical math:
+    - default: a ``lax.scan`` whose per-step work is one
+      [B, H] x [H, 4H] matmul; input projection batched up front.
+    - opt-in (AERO_LSTM_KERNEL=1, inference on TPU): the fused Pallas
+      recursion (``aero_tpu.ops.lstm``) — measured slower end-to-end
+      at the model's shapes (see that module's docstring), kept as the
+      starting point for a transposed-layout rework.
     """
 
     hidden: int
     layers: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
+        from aero_tpu.ops import lstm as lstm_ops
+
         init = tinit.lstm_init_for(self.hidden)
         cd = compute_dtype()
+        use_pallas = (not train and self.hidden <= lstm_ops._LANE
+                      and lstm_ops.pallas_available())
         for layer in range(self.layers):
             in_dim = x.shape[-1]
             ws = {}
@@ -388,31 +396,47 @@ class LSTM(nn.Module):
                     self.param(f"{pref}_b_ih", init, (4 * self.hidden,)),
                     self.param(f"{pref}_b_hh", init, (4 * self.hidden,)),
                 )
-            # Both directions run in ONE scan: the reverse direction's
+            # Both directions run in ONE pass: the reverse direction's
             # input is time-flipped and stacked on a leading axis, so the
             # sequential dependency chain is traversed once, with both
             # directions' recurrent matmuls batched per step.
-            w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)   # [2, in, 4H]
-            w_hh = jnp.stack([ws[0][1], ws[1][1]]).astype(cd)   # [2, H, 4H]
             bias = jnp.stack([ws[0][2] + ws[0][3],
                               ws[1][2] + ws[1][3]]).astype(cd)  # [2, 4H]
-
             xd = jnp.stack([x, jnp.flip(x, 1)]).astype(cd)      # [2, B, T, C]
-            xp = jnp.einsum("dbtc,dcg->dbtg", xd, w_ih) + bias[:, None, None]
 
-            def step(carry, xt, w_hh=w_hh):
-                h, c = carry  # h [2, B, H] compute dtype, c float32
-                gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
-                i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, -1)
-                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-                h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(cd)
-                return (h, c), h
+            if use_pallas:
+                h_dim = self.hidden
+                w_ih_b = jnp.stack([
+                    lstm_ops.pack_gate_blocked(ws[d][0], h_dim)
+                    for d in range(2)]).astype(cd)              # [2, in, 4L]
+                w_hh_b = jnp.stack([
+                    jnp.pad(lstm_ops.pack_gate_blocked(ws[d][1], h_dim),
+                            ((0, lstm_ops._LANE - h_dim), (0, 0)))
+                    for d in range(2)]).astype(cd)              # [2, L, 4L]
+                bias_b = jnp.stack([
+                    lstm_ops.pack_gate_blocked(bias[d][None], h_dim)[0]
+                    for d in range(2)])                         # [2, 4L]
+                xp = jnp.einsum("dbtc,dcg->dtbg", xd, w_ih_b)                     + bias_b[:, None, None]
+                ys = lstm_ops.lstm_time_scan(xp, w_hh_b, h_dim)
+                ys = jnp.moveaxis(ys[..., :h_dim], 1, 2)        # [2, B, T, H]
+            else:
+                w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)
+                w_hh = jnp.stack([ws[0][1], ws[1][1]]).astype(cd)
+                xp = jnp.einsum("dbtc,dcg->dbtg", xd, w_ih)                     + bias[:, None, None]
 
-            b = x.shape[0]
-            h0 = jnp.zeros((2, b, self.hidden), cd)
-            c0 = jnp.zeros((2, b, self.hidden), jnp.float32)
-            _, ys = jax.lax.scan(step, (h0, c0), jnp.moveaxis(xp, 2, 0))
-            ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
+                def step(carry, xt, w_hh=w_hh):
+                    h, c = carry  # h [2, B, H] compute dtype, c float32
+                    gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
+                    i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, -1)
+                    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                    h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(cd)
+                    return (h, c), h
+
+                b = x.shape[0]
+                h0 = jnp.zeros((2, b, self.hidden), cd)
+                c0 = jnp.zeros((2, b, self.hidden), jnp.float32)
+                _, ys = jax.lax.scan(step, (h0, c0), jnp.moveaxis(xp, 2, 0))
+                ys = jnp.moveaxis(ys, 0, 2)  # [2, B, T, H]
             x = jnp.concatenate([ys[0], jnp.flip(ys[1], 1)], -1)
         return x
 
@@ -427,7 +451,7 @@ class BLSTM(nn.Module):
     skip: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         b, t, c = x.shape
         y = x
         framed = False
@@ -439,7 +463,7 @@ class BLSTM(nn.Module):
             framed = True
             x = frames.reshape(b * n_frames, width, c)
 
-        x = LSTM(self.dim, self.layers, name="lstm")(x)
+        x = LSTM(self.dim, self.layers, name="lstm")(x, train)
         x = nn.Dense(
             self.dim,
             dtype=compute_dtype(),
@@ -771,7 +795,7 @@ class DConv(nn.Module):
 
             if self.lstm:
                 h = BLSTM(hidden, layers=2, max_steps=200, skip=True,
-                          name=f"layers_{d}_lstm")(h)
+                          name=f"layers_{d}_lstm")(h, train)
             if self.time_attn:
                 h = LocalState(hidden, heads=self.heads, ndecay=self.ndecay,
                                name=f"layers_{d}_time_attn")(h)

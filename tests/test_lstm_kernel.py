@@ -1,0 +1,57 @@
+"""Fused Pallas LSTM recursion vs the lax.scan twin (interpret mode).
+
+The inference path (train=False on TPU) runs the whole 200-step
+recursion in one pallas_call (aero_tpu/ops/lstm.py); the training path
+keeps the differentiable scan. Both must produce identical sequences —
+including through BLSTM's 50%-overlap chunking (reference
+src/models/modules.py:17-65).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.models.modules import BLSTM, LSTM
+from aero_tpu.ops import lstm as lstm_ops
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = lstm_ops._INTERPRET
+    lstm_ops._INTERPRET = True
+    yield
+    lstm_ops._INTERPRET = old
+
+
+def test_lstm_pallas_matches_scan():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.3 * rng.standard_normal((6, 37, 10)).astype(np.float32))
+    m = LSTM(12, layers=2)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    want = m.apply(v, x, train=True)   # scan
+    got = m.apply(v, x, train=False)   # pallas (interpret on CPU)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_blstm_chunked_pallas_matches_scan():
+    """Through the 200-step overlap chunking + skip connection."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(0.2 * rng.standard_normal((2, 311, 8)).astype(np.float32))
+    m = BLSTM(8, layers=2, max_steps=100, skip=True)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    want = m.apply(v, x, train=True)
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_lstm_pallas_batch_padding():
+    """Batch not a multiple of the row block (pad rows are inert)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(0.3 * rng.standard_normal((3, 21, 6)).astype(np.float32))
+    m = LSTM(6, layers=1)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    want = m.apply(v, x, train=True)
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
