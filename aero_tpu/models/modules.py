@@ -72,8 +72,38 @@ def unfold_time(x, width: int, stride: int):
     return jnp.stack(frames, axis=1)
 
 
+class _RawConvParams(nn.Module):
+    """nn.Conv-compatible kernel [*k, in, out] + bias params, declared
+    without applying a conv (so callers can lower to einsums)."""
+
+    kshape: tp.Tuple[int, ...]
+    use_bias: bool = True
+    kernel_init: tp.Optional[tp.Callable] = None
+    bias_init: tp.Optional[tp.Callable] = None
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init or tinit.conv_kernel_init,
+                       self.kshape)
+        b = None
+        if self.use_bias:
+            b = self.param("bias",
+                           self.bias_init
+                           or tinit.conv_bias_init_for(self.kshape),
+                           (self.kshape[-1],))
+        return k, b
+
+
 class Conv1d(nn.Module):
-    """torch-initialized 1-D conv on [B, T, C]."""
+    """torch-initialized 1-D conv on [B, T, C].
+
+    1x1 convs are lowered to a plain einsum instead of
+    ``conv_general_dilated``: measured on v5e, a conv op in the graph
+    poisons XLA's layout assignment for every downstream consumer of
+    its output (enc0's composed FTB ran 31.7 ms after an nn.Conv
+    pre_conv vs 12.2 ms after the identical einsum). Param layout stays
+    nn.Conv-compatible (child ``conv`` with kernel [k, in, out] + bias).
+    """
 
     features: int
     kernel_size: int = 1
@@ -88,6 +118,15 @@ class Conv1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kshape = (self.kernel_size, x.shape[-1] // self.groups, self.features)
+        if (self.kernel_size == 1 and self.stride == 1 and self.padding == 0
+                and self.groups == 1):
+            k, b = _RawConvParams(
+                kshape, use_bias=self.use_bias,
+                kernel_init=self.kernel_init, bias_init=self.bias_init,
+                name="conv")()
+            cd = compute_dtype()
+            y = x.astype(cd) @ k[0].astype(cd)
+            return y + b.astype(cd) if b is not None else y
         return nn.Conv(
             self.features,
             (self.kernel_size,),
@@ -104,7 +143,13 @@ class Conv1d(nn.Module):
 
 
 class Conv2d(nn.Module):
-    """torch-initialized 2-D conv on [B, H, W, C] (here H=freq, W=time)."""
+    """torch-initialized 2-D conv on [B, H, W, C] (here H=freq, W=time).
+
+    Lowered to einsums wherever possible (1x1; freq-axis (k,1) strided
+    convs via a block-slice decomposition) — conv ops in the graph
+    poison XLA:TPU layout assignment for downstream consumers (see
+    Conv1d docstring). Param layout stays nn.Conv-compatible.
+    """
 
     features: int
     kernel_size: tp.Tuple[int, int] = (1, 1)
@@ -115,6 +160,25 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kshape = (*self.kernel_size, x.shape[-1], self.features)
+        kh, kw = self.kernel_size
+        cd = compute_dtype()
+
+        if self.kernel_size == (1, 1) and self.stride == (1, 1) \
+                and self.padding == (0, 0):
+            k, b = _RawConvParams(kshape, self.use_bias, name="conv")()
+            y = x.astype(cd) @ k[0, 0].astype(cd)
+            return y + b.astype(cd) if b is not None else y
+
+        import os
+
+        if (kw == 1 and self.stride[1] == 1 and self.padding[1] == 0
+                and kh % self.stride[0] == 0
+                and os.environ.get("AERO_FREQCONV", "blocked") == "blocked"):
+            k, b = _RawConvParams(kshape, self.use_bias, name="conv")()
+            y = _freq_conv_blocked(x.astype(cd), k[:, 0].astype(cd),
+                                   self.stride[0], self.padding[0])
+            return y + b.astype(cd) if b is not None else y
+
         return nn.Conv(
             self.features,
             self.kernel_size,
@@ -127,6 +191,29 @@ class Conv2d(nn.Module):
             bias_init=tinit.conv_bias_init_for(kshape),
             name="conv",
         )(x)
+
+
+def _freq_conv_blocked(x, kernel, stride: int, pad: int):
+    """Freq-axis strided conv as slice+einsum (no conv op, no gather).
+
+    x [B, F, T, C]; kernel [k, C, D]; requires k % stride == 0.
+    View the padded F axis as blocks of ``stride``; output f0's window
+    [s*f0, s*f0 + k) covers k//s whole blocks starting at block f0, so
+    the conv is a sum of k//s einsums over contiguous block slices.
+    """
+    b, f, t, ci = x.shape
+    k, s = kernel.shape[0], stride
+    f_out = (f + 2 * pad - k) // s + 1
+    need = s * (f_out - 1) + k          # padded extent actually touched
+    blocks = -(-need // s)
+    xp = jnp.pad(x, ((0, 0), (pad, blocks * s - f - pad), (0, 0), (0, 0)))
+    xb = xp.reshape(b, blocks, s, t, ci)
+    wk = kernel.reshape(k // s, s, ci, kernel.shape[-1])
+    y = None
+    for a in range(k // s):
+        term = jnp.einsum("bfjtc,jcd->bftd", xb[:, a:a + f_out], wk[a])
+        y = term if y is None else y + term
+    return y
 
 
 def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
@@ -232,6 +319,12 @@ class _ConcatConvInner(nn.Module):
         bias = self.param("bias", tinit.conv_bias_init_for(kshape),
                           (self.features,))
         cd = compute_dtype()
+
+        if self.kernel_size == (1, 1) and self.padding == (0, 0):
+            y = (a.astype(cd) @ kernel[0, 0, :c_a].astype(cd)
+                 + b.astype(cd) @ kernel[0, 0, c_a:].astype(cd))
+            return y + bias.astype(y.dtype)
+
         pad = [(self.padding[0],) * 2, (self.padding[1],) * 2]
 
         def conv(x, k):
@@ -366,12 +459,12 @@ class LSTM(nn.Module):
 
     Input/output: [B, T, C]; output feature size = 2 * hidden.
     Two backends with identical math:
-    - default: a ``lax.scan`` whose per-step work is one
+    - training / CPU: a ``lax.scan`` whose per-step work is one
       [B, H] x [H, 4H] matmul; input projection batched up front.
-    - opt-in (AERO_LSTM_KERNEL=1, inference on TPU): the fused Pallas
-      recursion (``aero_tpu.ops.lstm``) — measured slower end-to-end
-      at the model's shapes (see that module's docstring), kept as the
-      starting point for a transposed-layout rework.
+    - inference on TPU: the fused Pallas recursion
+      (``aero_tpu.ops.lstm``) — state and recurrent weights stay in
+      VMEM across all 200 steps, batch rides the lane axis
+      (AERO_LSTM_KERNEL=0 forces the scan everywhere).
     """
 
     hidden: int
@@ -384,6 +477,7 @@ class LSTM(nn.Module):
         init = tinit.lstm_init_for(self.hidden)
         cd = compute_dtype()
         use_pallas = (not train and self.hidden <= lstm_ops._LANE
+                      and self.hidden % 8 == 0
                       and lstm_ops.pallas_available())
         for layer in range(self.layers):
             in_dim = x.shape[-1]
@@ -405,20 +499,13 @@ class LSTM(nn.Module):
             xd = jnp.stack([x, jnp.flip(x, 1)]).astype(cd)      # [2, B, T, C]
 
             if use_pallas:
-                h_dim = self.hidden
-                w_ih_b = jnp.stack([
-                    lstm_ops.pack_gate_blocked(ws[d][0], h_dim)
-                    for d in range(2)]).astype(cd)              # [2, in, 4L]
-                w_hh_b = jnp.stack([
-                    jnp.pad(lstm_ops.pack_gate_blocked(ws[d][1], h_dim),
-                            ((0, lstm_ops._LANE - h_dim), (0, 0)))
-                    for d in range(2)]).astype(cd)              # [2, L, 4L]
-                bias_b = jnp.stack([
-                    lstm_ops.pack_gate_blocked(bias[d][None], h_dim)[0]
-                    for d in range(2)])                         # [2, 4L]
-                xp = jnp.einsum("dbtc,dcg->dtbg", xd, w_ih_b)                     + bias_b[:, None, None]
-                ys = lstm_ops.lstm_time_scan(xp, w_hh_b, h_dim)
-                ys = jnp.moveaxis(ys[..., :h_dim], 1, 2)        # [2, B, T, H]
+                w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)
+                w_hh_t = jnp.stack(  # [2, 4H, H]
+                    [ws[0][1].T, ws[1][1].T]).astype(cd)
+                xp = jnp.einsum("dbtc,dcg->dtgb", xd, w_ih) \
+                    + bias[:, None, :, None]
+                ys = lstm_ops.lstm_time_scan(xp, w_hh_t, self.hidden)
+                ys = jnp.transpose(ys, (0, 3, 1, 2))            # [2, B, T, H]
             else:
                 w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)
                 w_hh = jnp.stack([ws[0][1], ws[1][1]]).astype(cd)

@@ -25,10 +25,16 @@ def interpret_mode():
     lstm_ops._INTERPRET = old
 
 
+def _kernel_engaged(hidden):
+    # the module only takes the Pallas path for lane/sublane-legal sizes
+    return hidden % 8 == 0 and hidden <= lstm_ops._LANE
+
+
 def test_lstm_pallas_matches_scan():
     rng = np.random.default_rng(0)
     x = jnp.asarray(0.3 * rng.standard_normal((6, 37, 10)).astype(np.float32))
-    m = LSTM(12, layers=2)
+    assert _kernel_engaged(16)
+    m = LSTM(16, layers=2)
     v = m.init(jax.random.PRNGKey(0), x, train=True)
     want = m.apply(v, x, train=True)   # scan
     got = m.apply(v, x, train=False)   # pallas (interpret on CPU)
@@ -47,11 +53,22 @@ def test_blstm_chunked_pallas_matches_scan():
 
 
 def test_lstm_pallas_batch_padding():
-    """Batch not a multiple of the row block (pad rows are inert)."""
+    """Batch not a multiple of the lane block (pad lanes are inert)."""
     rng = np.random.default_rng(2)
     x = jnp.asarray(0.3 * rng.standard_normal((3, 21, 6)).astype(np.float32))
-    m = LSTM(6, layers=1)
+    m = LSTM(8, layers=1)
     v = m.init(jax.random.PRNGKey(0), x, train=True)
     want = m.apply(v, x, train=True)
     got = m.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_lstm_odd_hidden_falls_back_to_scan():
+    """hidden % 8 != 0 silently uses the scan (no crash, same result)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(0.3 * rng.standard_normal((2, 19, 5)).astype(np.float32))
+    m = LSTM(12, layers=1)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    want = m.apply(v, x, train=True)
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

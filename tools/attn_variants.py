@@ -142,6 +142,17 @@ def main():
         ("exp2 f32exp", dict(exp2=True, use_max=True, bf16_exp=False)),
         ("exp2 nomax", dict(exp2=True, use_max=False, bf16_exp=True)),
     ]
+    # rank-1 variant (defined below)
+    fn_r1 = jax.jit(functools.partial(run_rank1, interpret=False))
+    try:
+        out = np.asarray(fn_r1(q[sl], k[sl], v[sl], w[sl])).astype(np.float32)
+        scale = np.maximum(np.abs(ref), 1e-3)
+        err = np.max(np.abs(out - ref) / scale)
+        ms = timed(fn_r1, q, k, v, w)
+        print(f"  {'rank1':20s} {ms:8.2f} ms   max-rel-err vs f32 ref {err:.2e}")
+    except Exception as e:  # noqa: BLE001
+        print(f"  rank1 FAILED: {type(e).__name__}: {e}")
+
     for name, kwargs in variants:
         kern = functools.partial(_kernel_v, **kwargs)
         fn = jax.jit(functools.partial(run_variant, kernel_fn=kern,
@@ -158,8 +169,6 @@ def main():
         print(f"  {name:20s} {ms:8.2f} ms   max-rel-err vs f32 ref {err:.2e}")
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -285,3 +294,7 @@ def run_rank1(q, k, v, w, block_q=256, interpret=False):
     )(q2, kf, vf, a_const)
     out = out[:, :t, :c].reshape(b, h, t, c)
     return jnp.moveaxis(out, 1, 2)
+
+
+if __name__ == "__main__":
+    main()
