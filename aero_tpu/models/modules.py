@@ -325,6 +325,17 @@ class _ConcatConvInner(nn.Module):
                  + b.astype(cd) @ kernel[0, 0, c_a:].astype(cd))
             return y + bias.astype(y.dtype)
 
+        import os
+
+        if os.environ.get("AERO_CONV2D", "xla") == "tap":
+            # decompose over freq taps: kh time-axis NWC convs on
+            # freq-shifted slices (no 2-D conv op in the graph)
+            y = (_conv2d_tapfreq(a.astype(cd), kernel[:, :, :c_a].astype(cd),
+                                 *self.padding)
+                 + _conv2d_tapfreq(b.astype(cd), kernel[:, :, c_a:].astype(cd),
+                                   *self.padding))
+            return y + bias.astype(y.dtype)
+
         pad = [(self.padding[0],) * 2, (self.padding[1],) * 2]
 
         def conv(x, k):
@@ -334,6 +345,27 @@ class _ConcatConvInner(nn.Module):
 
         y = conv(a, kernel[:, :, :c_a]) + conv(b, kernel[:, :, c_a:])
         return y + bias.astype(y.dtype)
+
+
+def _conv2d_tapfreq(x, kernel, pad_f: int, pad_t: int):
+    """[B, F, T, C] 2-D conv as a sum over freq taps of 1-D time convs.
+
+    kernel [kh, kw, C, D]; stride 1. Each tap i contributes an NWC time
+    conv of the freq-shifted slice — keeps 2-D conv ops (a measured
+    XLA:TPU layout hazard) out of the graph at the cost of kh reads.
+    """
+    b, f, t, ci = x.shape
+    kh = kernel.shape[0]
+    f_out = f + 2 * pad_f - kh + 1
+    xp = jnp.pad(x, ((0, 0), (pad_f, pad_f), (0, 0), (0, 0)))
+    y = None
+    for i in range(kh):
+        xi = xp[:, i:i + f_out].reshape(b * f_out, t, ci)
+        yi = jax.lax.conv_general_dilated(
+            xi, kernel[i], (1,), [(pad_t, pad_t)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        y = yi if y is None else y + yi
+    return y.reshape(b, f_out, t, -1)
 
 
 class ConcatConv2d(nn.Module):
@@ -395,8 +427,8 @@ class BatchNorm(nn.Module):
     `x.astype(f32)` round-trip alone cost ~2.4 ms of HBM traffic."""
 
     @nn.compact
-    def __call__(self, x, train: bool, axis: int = -1):
-        return _RawBatchNorm(name="bn")(x, train, axis)
+    def __call__(self, x, train: bool, axis: int = -1, fold_only: bool = False):
+        return _RawBatchNorm(name="bn")(x, train, axis, fold_only)
 
 
 class _RawBatchNorm(nn.Module):
@@ -406,7 +438,21 @@ class _RawBatchNorm(nn.Module):
     other axes)."""
 
     @nn.compact
-    def __call__(self, x, train: bool, axis: int = -1):
+    def __call__(self, x, train: bool, axis: int = -1,
+                 fold_only: bool = False):
+        if fold_only:
+            # Inference-only: return the per-channel affine (s, t) with
+            # y == x * s + t, for folding into adjacent matmuls.
+            assert not train
+            c = int(x) if isinstance(x, int) else x.shape[axis]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            mean = self.variable("batch_stats", "mean",
+                                 lambda: jnp.zeros((c,), jnp.float32)).value
+            var = self.variable("batch_stats", "var",
+                                lambda: jnp.ones((c,), jnp.float32)).value
+            s = jax.lax.rsqrt(var + 1e-5) * scale
+            return s, bias - mean * s
         axis = axis % x.ndim
         c = x.shape[axis]
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -499,13 +545,23 @@ class LSTM(nn.Module):
             xd = jnp.stack([x, jnp.flip(x, 1)]).astype(cd)      # [2, B, T, C]
 
             if use_pallas:
+                hd = self.hidden
+                b_eff, t_len = x.shape[0], x.shape[1]
                 w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)
-                w_hh_t = jnp.stack(  # [2, 4H, H]
-                    [ws[0][1].T, ws[1][1].T]).astype(cd)
-                xp = jnp.einsum("dbtc,dcg->dtgb", xd, w_ih) \
+                # per-direction projections [2, T, 4H, B], then packed
+                # rows gate-major/direction-minor -> [T, 8H, B]
+                xp_d = jnp.einsum("dbtc,dcg->dtgb", xd, w_ih) \
                     + bias[:, None, :, None]
-                ys = lstm_ops.lstm_time_scan(xp, w_hh_t, self.hidden)
-                ys = jnp.transpose(ys, (0, 3, 1, 2))            # [2, B, T, H]
+                xp = jnp.stack(
+                    [xp_d[0].reshape(t_len, 4, hd, b_eff),
+                     xp_d[1].reshape(t_len, 4, hd, b_eff)], axis=2)
+                xp = xp.reshape(t_len, 8 * hd, b_eff)
+                w_pk = lstm_ops.pack_weights(
+                    ws[0][1], ws[1][1], hd).astype(cd)
+                ys2 = lstm_ops.lstm_time_scan(xp, w_pk, hd)  # [T, 2H, B]
+                ys = jnp.stack(
+                    [jnp.transpose(ys2[:, :hd, :], (2, 0, 1)),
+                     jnp.transpose(ys2[:, hd:, :], (2, 0, 1))])
             else:
                 w_ih = jnp.stack([ws[0][0], ws[1][0]]).astype(cd)
                 w_hh = jnp.stack([ws[0][1], ws[1][1]]).astype(cd)
@@ -803,8 +859,6 @@ class FTB(nn.Module):
         h = BatchNorm(name="conv1d_bn")(h, train)
         h = jax.nn.relu(h)  # [B, T, C]
 
-        att = h[:, None] * x  # broadcast over freq -> [B, F, T, C]
-
         w = self.param("freq_fc", tinit.linear_kernel_init,
                        (self.input_dim, self.input_dim))
         # conv2 is a 1x1 over cat(freq_fc(att), x): expressed as channel
@@ -816,6 +870,22 @@ class FTB(nn.Module):
         # relayouts per tile; pure dots are ~4x faster end-to-end).
         k2, b2 = _ConvParams((1, 1, 2 * c, self.in_channel), name="conv2")()
         cd = x.dtype
+
+        from aero_tpu.ops import ftb as ftb_ops
+
+        if not train and ftb_ops.pallas_available():
+            # Fused Pallas tail: one HBM pass over x instead of 4-5, with
+            # the inference BatchNorm folded into the mix weights.
+            s, t0 = BatchNorm(name="conv2_bn")(self.in_channel, False,
+                                               fold_only=True)
+            k32 = k2[0, 0].astype(jnp.float32)
+            ka_f = k32[:c] * s[None]
+            kb_f = k32[c:] * s[None]
+            b2_f = b2.astype(jnp.float32) * s + t0
+            return ftb_ops.ftb_tail(x, h, ka_f, kb_f,
+                                    w.T.astype(jnp.float32), b2_f)
+
+        att = h[:, None] * x  # broadcast over freq -> [B, F, T, C]
         ka, kb = k2[0, 0, :c].astype(cd), k2[0, 0, c:].astype(cd)
         m = att @ ka  # [B, F, T, C'] channel-mixed
         # torch Linear over the freq axis: out[f'] = sum_f att[f] W[f', f]

@@ -6,15 +6,18 @@ step is a separately dispatched tiny matmul + gate math with the h/c
 carry bouncing through HBM; this kernel runs the whole recursion inside
 ONE pallas_call with the state and recurrent weights resident in VMEM.
 
-Layout (v2, "transposed"): batch rides the 128-lane axis and gates ride
-sublanes — state is [H, B], the per-step input projection streams as
-[4H, B] blocks, and the recurrent matmul is W_hh^T [4H, H] @ h [H, B].
-Gate splits are sublane slices at offsets k*H (legal for H % 8 == 0).
-A v1 layout with gate-BLOCKED lanes (each gate padded to its own
-128-lane block) measured ~13% slower end-to-end than the XLA scan
-(bf16 B=16 bench: 421x vs 484x realtime) because it streamed a
-[D, T, B, 4*128] input projection — 2.7-10.7x the packed size. This
-layout streams the packed [D, T, 4H, B] instead.
+Layout (v3): batch rides the 128-lane axis; BOTH directions run in the
+same grid step with a block-diagonal recurrent matmul, and gates are
+packed [i0 i1 f0 f1 g0 g1 o0 g1...o1] — i.e. gate-major, direction-minor
+— so the cell update is four contiguous [2H, B] sublane slices (legal
+for H % 8 == 0). One grid step per time step total (vs 2 in the v2
+direction-grid layout, vs 400 XLA dispatches for the scan), streaming
+the packed [T, 8H, B] input projection.
+
+History: v1 (gate-blocked 128-lane groups) measured ~13% slower than
+the XLA scan end-to-end (it streamed 4*128 lanes of input projection
+per step regardless of H); v2 (transposed, direction-gridded) measured
+~1% faster than the scan (bench 527.6x vs 520.7x).
 
 The input projection x @ W_ih + b (the parallelizable part) stays
 outside as one big XLA GEMM.
@@ -49,71 +52,89 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden: int):
-    """Grid (D, n_bb, T); one step of the recursion per invocation.
+def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int):
+    """Grid (n_bb, T); one time step for BOTH directions per invocation.
 
-    xp_ref:  [1, 1, 4H, BB]   this step's input projection (+bias)
-    whh_ref: [1, 4H, H]       recurrent weights transposed, lanes = H
-    out_ref: [1, 1, H, BB]    h_t output
-    h_ref:   [H, BB] (dtype)  hidden state, persists across t
-    c_ref:   [H, BB] (f32)    cell state, persists across t
+    xp_ref:  [1, 8H, BB]   this step's input projection (+bias),
+                           gate-major/direction-minor packed rows
+    whh_ref: [8H, 2H]      block-diag recurrent weights, same row order
+    out_ref: [1, 2H, BB]   h_t output ([0:H] fwd, [H:2H] bwd)
+    h_ref:   [2H, BB]      hidden state, persists across t
+    c_ref:   [2H, BB] f32  cell state, persists across t
     """
-    t = pl.program_id(2)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
         h_ref[:, :] = jnp.zeros_like(h_ref)
         c_ref[:, :] = jnp.zeros_like(c_ref)
 
+    h2 = hidden2
     h = h_ref[:, :]
-    gates = xp_ref[0, 0, :, :].astype(jnp.float32) + jax.lax.dot_general(
-        whh_ref[0, :, :], h, (((1,), (0,)), ((), ())),
+    gates = xp_ref[0, :, :].astype(jnp.float32) + jax.lax.dot_general(
+        whh_ref[:, :], h, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[0 * hidden:1 * hidden, :])
-    f = jax.nn.sigmoid(gates[1 * hidden:2 * hidden, :])
-    g = jnp.tanh(gates[2 * hidden:3 * hidden, :])
-    o = jax.nn.sigmoid(gates[3 * hidden:4 * hidden, :])
+    i = jax.nn.sigmoid(gates[0 * h2:1 * h2, :])
+    f = jax.nn.sigmoid(gates[1 * h2:2 * h2, :])
+    g = jnp.tanh(gates[2 * h2:3 * h2, :])
+    o = jax.nn.sigmoid(gates[3 * h2:4 * h2, :])
     c = f * c_ref[:, :] + i * g
     h_new = (o * jnp.tanh(c)).astype(h_ref.dtype)
     c_ref[:, :] = c
     h_ref[:, :] = h_new
-    out_ref[0, 0, :, :] = h_new
+    out_ref[0, :, :] = h_new
 
 
-def lstm_time_scan(xp, w_hh_t, hidden: int, block_b: int = 2048):
-    """Run the LSTM recursion over time for both directions.
+def pack_weights(w_hh_fwd, w_hh_bwd, hidden: int):
+    """[H, 4H] torch-gate-ordered per-direction recurrent weights ->
+    [8H, 2H] block-diagonal, gate-major/direction-minor rows."""
+    h = hidden
+    blocks = []
+    for gate in range(4):
+        wf = w_hh_fwd[:, gate * h:(gate + 1) * h].T   # [H, H] -> rows out
+        wb = w_hh_bwd[:, gate * h:(gate + 1) * h].T
+        z = jnp.zeros_like(wf)
+        blocks.append(jnp.concatenate([
+            jnp.concatenate([wf, z], axis=1),
+            jnp.concatenate([z, wb], axis=1)], axis=0))  # [2H, 2H]
+    return jnp.concatenate(blocks, axis=0)               # [8H, 2H]
 
-    xp:     [D, T, 4H, B] input projections + bias; D = num directions.
-    w_hh_t: [D, 4H, H] recurrent weights, transposed (out-gates major).
-    Returns the h sequence [D, T, H, B].
+
+def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
+    """Run the bidirectional LSTM recursion over time.
+
+    xp:          [T, 8H, B] input projections + bias, rows packed
+                 gate-major/direction-minor (i_f, i_b, f_f, f_b, ...).
+    w_hh_packed: [8H, 2H] block-diag recurrent weights (pack_weights).
+    Returns the h sequence [T, 2H, B] ([: , 0:H] fwd, [:, H:2H] bwd).
     """
-    d, t, gh, b = xp.shape
-    assert gh == 4 * hidden and hidden % 8 == 0 and hidden <= _LANE
+    t, gh, b = xp.shape
+    assert gh == 8 * hidden and hidden % 8 == 0 and 2 * hidden <= 512
     bb = min(block_b, _round_up(b, _LANE))
     b_pad = _round_up(b, bb)
     if b_pad != b:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, b_pad - b)))
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, b_pad - b)))
 
-    kernel = functools.partial(_kernel, hidden=hidden)
+    h2 = 2 * hidden
+    kernel = functools.partial(_kernel, hidden2=h2)
     out = pl.pallas_call(
         kernel,
-        grid=(d, b_pad // bb, t),
+        grid=(b_pad // bb, t),
         in_specs=[
-            pl.BlockSpec((1, 1, gh, bb), lambda di, i, ti: (di, ti, 0, i)),
-            pl.BlockSpec((1, gh, hidden), lambda di, i, ti: (di, 0, 0)),
+            pl.BlockSpec((1, gh, bb), lambda i, ti: (ti, 0, i)),
+            pl.BlockSpec((gh, h2), lambda i, ti: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, hidden, bb),
-                               lambda di, i, ti: (di, ti, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((d, t, hidden, b_pad), xp.dtype),
+        out_specs=pl.BlockSpec((1, h2, bb), lambda i, ti: (ti, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((t, h2, b_pad), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((hidden, bb), xp.dtype),
-            pltpu.VMEM((hidden, bb), jnp.float32),
+            pltpu.VMEM((h2, bb), xp.dtype),
+            pltpu.VMEM((h2, bb), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_INTERPRET,
-    )(xp, w_hh_t)
-    return out[:, :, :, :b]
+    )(xp, w_hh_packed)
+    return out[:, :, :b]
 
 
 def pallas_available() -> bool:

@@ -108,6 +108,31 @@ class Solver:
 
         return loss_fn
 
+    def _valid_losses(self, lstate, pr, hr):
+        """Valid losses with length bucketing: pad BOTH signals (tail
+        reflection, same scheme as EvalForward) to a multiple of
+        ``eval_bucket_s`` so the loss jit compiles once per bucket
+        instead of once per distinct file length — on VCTK-scale eval
+        sets the per-length compiles otherwise dominate wall-clock.
+        The reference computes valid losses on exact lengths (eager
+        torch, solver.py:353-425); bucketing shifts the absolute loss
+        slightly (the reflected tail is included) but is consistent
+        across epochs, which is all best-state selection needs.
+        ``eval_bucket_s: 0`` restores exact-length behavior."""
+        import math as _math
+
+        from aero_tpu.eval.forward import _pad_reflect_tail
+
+        bucket = int(float(self.args.get("eval_bucket_s", 1.0))
+                     * int(self.args.experiment.hr_sr))
+        if bucket > 0:
+            tgt = max(bucket,
+                      int(_math.ceil(hr.shape[-1] / bucket)) * bucket)
+            pr = _pad_reflect_tail(np.asarray(pr, np.float32), tgt)
+            hr = _pad_reflect_tail(np.asarray(hr, np.float32), tgt)
+        return jax.device_get(self.valid_loss_fn(
+            lstate, jnp.asarray(pr), jnp.asarray(hr)))
+
     def _copy_models_states(self):
         host = jax.device_get(self.state)
         states = {GENERATOR_KEY: {"params": host.gen_params, **host.gen_state}}
@@ -359,8 +384,7 @@ class Solver:
             out = self.eval_forward(lr)
             pr = out[0] if isinstance(out, tuple) else out
             pr = match_signal(pr, hr.shape[-1])
-            metrics = jax.device_get(self.valid_loss_fn(
-                lstate, jnp.asarray(pr), jnp.asarray(hr)))
+            metrics = self._valid_losses(lstate, pr, hr)
             total_loss += float(metrics["total"])
             for k, v in metrics.items():
                 if k != "total":
@@ -406,8 +430,7 @@ class Solver:
                     save_specs(lr_spec[0], pr_spec[0], hr_spec[0],
                                os.path.join(self.samples_dir, filename))
 
-            metrics = jax.device_get(self.valid_loss_fn(
-                lstate, jnp.asarray(pr), jnp.asarray(hr)))
+            metrics = self._valid_losses(lstate, pr, hr)
             total_loss += float(metrics["total"])
             for k, v in metrics.items():
                 if k != "total":

@@ -47,7 +47,8 @@ class DecPrefix(M.nn.Module):
                                   name="conv_tr")(y)
         if self.stage <= 1:
             return z
-        z = M.GroupNorm(4, name="norm2")(z)
+        if not self.last:  # last layer has norm=False (norm_starts=2)
+            z = M.GroupNorm(4, name="norm2")(z)
         pad = (8 - self.stride) // 2
         z = z[:, pad:-pad, :, :]
         if not self.last:
