@@ -507,10 +507,10 @@ class LSTM(nn.Module):
     Two backends with identical math:
     - training / CPU: a ``lax.scan`` whose per-step work is one
       [B, H] x [H, 4H] matmul; input projection batched up front.
-    - inference on TPU: the fused Pallas recursion
-      (``aero_tpu.ops.lstm``) — state and recurrent weights stay in
-      VMEM across all 200 steps, batch rides the lane axis
-      (AERO_LSTM_KERNEL=0 forces the scan everywhere).
+    - opt-in (AERO_LSTM_KERNEL=1, inference on TPU): the fused Pallas
+      recursion (``aero_tpu.ops.lstm``) — measured slower end-to-end
+      than the scan in every iteration so far (see that module's
+      docstring), kept for future work.
     """
 
     hidden: int
@@ -812,17 +812,7 @@ class _ConvParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        class _Inner(nn.Module):
-            kshape: tp.Tuple[int, ...]
-
-            @nn.compact
-            def __call__(self):
-                k = self.param("kernel", tinit.conv_kernel_init, self.kshape)
-                b = self.param("bias", tinit.conv_bias_init_for(self.kshape),
-                               (self.kshape[-1],))
-                return k, b
-
-        return _Inner(self.kshape, name="conv")()
+        return _RawConvParams(self.kshape, name="conv")()
 
 
 class FTB(nn.Module):

@@ -1,5 +1,4 @@
-"""Fused FTB tail (attention-multiply -> channel mix -> freq mix ->
-residual channel mix -> bias -> ReLU) as one Pallas kernel.
+"""Fused FTB tail as one XLA freq-mix einsum + one Pallas kernel.
 
 The FTB block (reference src/models/modules.py:279-325) ends with:
 
@@ -8,19 +7,20 @@ The FTB block (reference src/models/modules.py:279-325) ends with:
     m   = einsum(W_freq, m)               # Linear over the F axis
     out = relu(m + einsum(x, Kb) + b2)    # conv2 x half + bias (+ BN fold)
 
-Composed as XLA ops this reads the [B, F, T, C] activation from HBM
-4-5 times (~12 ms at enc0's F=256 shapes). The kernel streams x ONCE
-per block, keeps att/m in VMEM, and does the F-mix as a single
-[F, F] @ [F, Tb*C] MXU dot.
+Composed as XLA ops this makes 6-7 HBM passes over the [B, F, T, C]
+activation. Here the freq mix runs FIRST (it commutes with the
+pointwise-in-F ops: W @ ((h*x) @ Ka) == ((h * (W @ x)) @ Ka)) as one
+clean MXU einsum, and a Pallas kernel fuses the rest — h-multiply,
+both channel mixes, BN-folded bias, ReLU — into a single pass over
+(y, x): 5 total HBM passes.
 
 Inference path only (BatchNorm folded into Ka/Kb/b2 by the caller);
 training keeps the composed XLA graph. Parity-tested in interpret mode
-(tests/test_ftb_kernel.py).
+(tests/test_ftb_kernel.py). OPT-IN (AERO_FTB_KERNEL=1) until verified
+to compile on real TPU — see pallas_available.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -39,23 +39,25 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(x_ref, h_ref, ka_ref, kb_ref, w_ref, b2_ref, o_ref):
-    """Grid (B, T/Tb). x_ref [1, F, Tb, C]; h_ref [1, Tb, C];
-    ka/kb [C, C]; w [F, F]; b2 [1, C]; o_ref [1, F, Tb, C]."""
+def _kernel(y_ref, x_ref, h_ref, ka_ref, kb_ref, b2_ref, o_ref):
+    """Grid (B, T/Tb). y_ref/x_ref [1, F, Tb, C] (y = W_freq @ x computed
+    by one XLA einsum outside); h_ref [1, Tb, C]; ka/kb [C, C];
+    b2 [1, C]; o_ref [1, F, Tb, C].
+
+    Only leading-dim merges ([F, Tb, C] -> [F*Tb, C]) are used — Mosaic
+    rejects lane-merge reshapes ([F, Tb, C] -> [F, Tb*C]) and 3-D-rhs
+    dots (same reshape generated internally), which killed two earlier
+    formulations that fused the freq mix in-kernel.
+    """
     f, tb, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
 
-    x = x_ref[0, :, :, :]                      # [F, Tb, C]
+    y = y_ref[0, :, :, :]                      # [F, Tb, C] freq-mixed
+    x = x_ref[0, :, :, :]
     h = h_ref[0, :, :]                         # [Tb, C]
-    att = x * h[None, :, :]
 
-    rows = att.reshape(f * tb, c)
-    m1 = jax.lax.dot_general(rows, ka_ref[:, :], (((1,), (0,)), ((), ())),
+    att = (y * h[None, :, :]).reshape(f * tb, c)
+    m2 = jax.lax.dot_general(att, ka_ref[:, :], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    m1 = m1.astype(x.dtype).reshape(f, tb * c)
-    m2 = jax.lax.dot_general(w_ref[:, :], m1, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    m2 = m2.reshape(f * tb, c)
-
     xk = jax.lax.dot_general(x.reshape(f * tb, c), kb_ref[:, :],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -74,22 +76,27 @@ def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
         h = jnp.pad(h, ((0, 0), (0, t_pad - t), (0, 0)))
 
+    # freq mix as one XLA einsum (reads x once); the kernel fuses the
+    # h-multiply + both channel mixes + bias + ReLU (commuted form:
+    # W @ ((h*x) @ Ka) == ((h * (W @ x)) @ Ka), since the freq mix is
+    # linear in F and the rest is pointwise in F).
+    y = jnp.einsum("gf,bftc->bgtc", w_freq.astype(cd), x)
+
     out = pl.pallas_call(
         _kernel,
         grid=(b, t_pad // block_t),
         in_specs=[
             pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((f, f), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, f, t_pad, c), cd),
         interpret=_INTERPRET,
-    )(x, h.astype(cd), ka.astype(cd), kb.astype(cd), w_freq.astype(cd),
-      b2.reshape(1, -1))
+    )(y, x, h.astype(cd), ka.astype(cd), kb.astype(cd), b2.reshape(1, -1))
     return out[:, :, :t, :]
 
 
@@ -100,7 +107,11 @@ def pallas_available() -> bool:
         return False
     if _INTERPRET:
         return True
-    if os.environ.get("AERO_FTB_KERNEL", "1") == "0":
+    # Opt-in until a Mosaic-compilable formulation lands: both the
+    # lane-merge reshape ([F,Tb,C] -> [F,Tb*C]) and the 3-D-rhs dot
+    # (which lowers to the same reshape internally) are rejected by
+    # Mosaic on real TPU ("unsupported shape cast").
+    if os.environ.get("AERO_FTB_KERNEL", "0") != "1":
         return False
     try:
         platform = jax.devices()[0].platform

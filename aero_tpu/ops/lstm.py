@@ -8,7 +8,7 @@ ONE pallas_call with the state and recurrent weights resident in VMEM.
 
 Layout (v3): batch rides the 128-lane axis; BOTH directions run in the
 same grid step with a block-diagonal recurrent matmul, and gates are
-packed [i0 i1 f0 f1 g0 g1 o0 g1...o1] — i.e. gate-major, direction-minor
+packed [i0 i1 f0 f1 g0 g1 o0 o1] — i.e. gate-major, direction-minor
 — so the cell update is four contiguous [2H, B] sublane slices (legal
 for H % 8 == 0). One grid step per time step total (vs 2 in the v2
 direction-grid layout, vs 400 XLA dispatches for the scan), streaming
@@ -24,8 +24,9 @@ outside as one big XLA GEMM.
 
 Used for the no-gradient path only; training keeps the differentiable
 scan in models/modules.py (identical math, checked against it in
-tests/test_lstm_kernel.py, interpret mode). Disable with
-AERO_LSTM_KERNEL=0 to fall back to the scan everywhere.
+tests/test_lstm_kernel.py, interpret mode). OPT-IN via
+AERO_LSTM_KERNEL=1: the scan measures faster end-to-end (see
+pallas_available).
 """
 
 from __future__ import annotations
@@ -52,12 +53,15 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int):
+def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int,
+            blockdiag: bool):
     """Grid (n_bb, T); one time step for BOTH directions per invocation.
 
     xp_ref:  [1, 8H, BB]   this step's input projection (+bias),
                            gate-major/direction-minor packed rows
-    whh_ref: [8H, 2H]      block-diag recurrent weights, same row order
+    whh_ref: [8H, 2H] block-diag recurrent weights (same row order), or
+             [2, 4H, H] per-direction when 2H > 128 (the block-diagonal
+             zeros would double the MXU K-passes there)
     out_ref: [1, 2H, BB]   h_t output ([0:H] fwd, [H:2H] bwd)
     h_ref:   [2H, BB]      hidden state, persists across t
     c_ref:   [2H, BB] f32  cell state, persists across t
@@ -70,14 +74,36 @@ def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int):
         c_ref[:, :] = jnp.zeros_like(c_ref)
 
     h2 = hidden2
+    hd = h2 // 2
     h = h_ref[:, :]
-    gates = xp_ref[0, :, :].astype(jnp.float32) + jax.lax.dot_general(
-        whh_ref[:, :], h, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[0 * h2:1 * h2, :])
-    f = jax.nn.sigmoid(gates[1 * h2:2 * h2, :])
-    g = jnp.tanh(gates[2 * h2:3 * h2, :])
-    o = jax.nn.sigmoid(gates[3 * h2:4 * h2, :])
+    xp = xp_ref[0, :, :].astype(jnp.float32)
+    if blockdiag:
+        gates = xp + jax.lax.dot_general(
+            whh_ref[:, :], h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[0 * h2:1 * h2, :])
+        f = jax.nn.sigmoid(gates[1 * h2:2 * h2, :])
+        g = jnp.tanh(gates[2 * h2:3 * h2, :])
+        o = jax.nn.sigmoid(gates[3 * h2:4 * h2, :])
+    else:
+        # per-direction dots on the [H, BB] state slices; gate rows of
+        # each dot are torch-ordered [i f g o] x H
+        gf = jax.lax.dot_general(
+            whh_ref[0, :, :], h[:hd, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gb = jax.lax.dot_general(
+            whh_ref[1, :, :], h[hd:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def packed(k):  # [2H, BB] gate k rows for both directions
+            return jnp.concatenate(
+                [gf[k * hd:(k + 1) * hd, :], gb[k * hd:(k + 1) * hd, :]],
+                axis=0)
+
+        i = jax.nn.sigmoid(xp[0 * h2:1 * h2, :] + packed(0))
+        f = jax.nn.sigmoid(xp[1 * h2:2 * h2, :] + packed(1))
+        g = jnp.tanh(xp[2 * h2:3 * h2, :] + packed(2))
+        o = jax.nn.sigmoid(xp[3 * h2:4 * h2, :] + packed(3))
     c = f * c_ref[:, :] + i * g
     h_new = (o * jnp.tanh(c)).astype(h_ref.dtype)
     c_ref[:, :] = c
@@ -87,17 +113,21 @@ def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int):
 
 def pack_weights(w_hh_fwd, w_hh_bwd, hidden: int):
     """[H, 4H] torch-gate-ordered per-direction recurrent weights ->
-    [8H, 2H] block-diagonal, gate-major/direction-minor rows."""
+    the kernel's recurrent operand: [8H, 2H] block-diagonal
+    (gate-major/direction-minor rows) when 2H <= 128, else [2, 4H, H]
+    per-direction (transposed, gates row-major)."""
     h = hidden
-    blocks = []
-    for gate in range(4):
-        wf = w_hh_fwd[:, gate * h:(gate + 1) * h].T   # [H, H] -> rows out
-        wb = w_hh_bwd[:, gate * h:(gate + 1) * h].T
-        z = jnp.zeros_like(wf)
-        blocks.append(jnp.concatenate([
-            jnp.concatenate([wf, z], axis=1),
-            jnp.concatenate([z, wb], axis=1)], axis=0))  # [2H, 2H]
-    return jnp.concatenate(blocks, axis=0)               # [8H, 2H]
+    if 2 * h <= _LANE:
+        blocks = []
+        for gate in range(4):
+            wf = w_hh_fwd[:, gate * h:(gate + 1) * h].T  # [H, H] rows out
+            wb = w_hh_bwd[:, gate * h:(gate + 1) * h].T
+            z = jnp.zeros_like(wf)
+            blocks.append(jnp.concatenate([
+                jnp.concatenate([wf, z], axis=1),
+                jnp.concatenate([z, wb], axis=1)], axis=0))  # [2H, 2H]
+        return jnp.concatenate(blocks, axis=0)               # [8H, 2H]
+    return jnp.stack([w_hh_fwd.T, w_hh_bwd.T])               # [2, 4H, H]
 
 
 def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
@@ -105,7 +135,8 @@ def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
 
     xp:          [T, 8H, B] input projections + bias, rows packed
                  gate-major/direction-minor (i_f, i_b, f_f, f_b, ...).
-    w_hh_packed: [8H, 2H] block-diag recurrent weights (pack_weights).
+    w_hh_packed: recurrent weights from ``pack_weights`` ([8H, 2H]
+                 block-diag for 2H <= 128, else [2, 4H, H] per-dir).
     Returns the h sequence [T, 2H, B] ([: , 0:H] fwd, [:, H:2H] bwd).
     """
     t, gh, b = xp.shape
@@ -116,13 +147,17 @@ def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, b_pad - b)))
 
     h2 = 2 * hidden
-    kernel = functools.partial(_kernel, hidden2=h2)
+    blockdiag = w_hh_packed.ndim == 2
+    kernel = functools.partial(_kernel, hidden2=h2, blockdiag=blockdiag)
+    w_spec = (pl.BlockSpec((gh, h2), lambda i, ti: (0, 0)) if blockdiag
+              else pl.BlockSpec((2, 4 * hidden, hidden),
+                                lambda i, ti: (0, 0, 0)))
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // bb, t),
         in_specs=[
             pl.BlockSpec((1, gh, bb), lambda i, ti: (ti, 0, i)),
-            pl.BlockSpec((gh, h2), lambda i, ti: (0, 0)),
+            w_spec,
         ],
         out_specs=pl.BlockSpec((1, h2, bb), lambda i, ti: (ti, 0, i)),
         out_shape=jax.ShapeDtypeStruct((t, h2, b_pad), xp.dtype),
@@ -144,7 +179,12 @@ def pallas_available() -> bool:
         return False
     if _INTERPRET:  # test mode: parity-check the kernel on CPU
         return True
-    if os.environ.get("AERO_LSTM_KERNEL", "1") == "0":
+    # OFF by default: the XLA scan measures FASTER end-to-end than every
+    # kernel iteration so far (pipelined bf16 B=16 bench: scan 567.6x vs
+    # v3 543.0x vs v2 ~528x≈scan ~525x at the time). The sequential
+    # 200-step recursion just isn't the bottleneck XLA-side once the
+    # input projection is one big GEMM; kernel kept for future work.
+    if os.environ.get("AERO_LSTM_KERNEL", "0") != "1":
         return False
     try:
         platform = jax.devices()[0].platform

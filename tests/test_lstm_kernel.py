@@ -72,3 +72,14 @@ def test_lstm_odd_hidden_falls_back_to_scan():
     want = m.apply(v, x, train=True)
     got = m.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_lstm_wide_hidden_per_direction_path():
+    """2H > 128 uses per-direction dots instead of the block-diagonal."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(0.2 * rng.standard_normal((2, 29, 14)).astype(np.float32))
+    m = LSTM(72, layers=1)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    want = m.apply(v, x, train=True)
+    got = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
