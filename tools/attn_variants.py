@@ -298,3 +298,27 @@ def run_rank1(q, k, v, w, block_q=256, interpret=False):
 
 if __name__ == "__main__":
     main()
+
+
+def _kernel_dotonly(q_ref, k_ref, v_ref, w_ref, o_ref, *, block_q, t_real,
+                    with_exp=False):
+    """Diagnostic: just the two matmuls (+optionally exp), no penalties/
+    masks/reductions — isolates MXU+pipeline cost from elementwise."""
+    t_pad, c = q_ref.shape[1], q_ref.shape[2]
+    n_qb = t_pad // block_q
+    k = k_ref[0, :, :]
+    v = v_ref[0, :, :]
+
+    def body(j, _):
+        q_blk = q_ref[0, pl.ds(j * block_q, block_q), :]
+        s = jax.lax.dot_general(q_blk, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if with_exp:
+            s = jnp.exp(s - 1.0)
+        p = s.astype(v.dtype)
+        out = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, pl.ds(j * block_q, block_q), :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_qb, body, 0)

@@ -38,7 +38,10 @@ class DecPrefix(M.nn.Module):
 
     @M.nn.compact
     def __call__(self, x, skip, train: bool = False):
-        y = M.ConcatConv2d(2 * self.chin, (3, 3), (1, 1),
+        # x/skip each carry ``chin`` channels; the cat is 2*chin and the
+        # rewrite outputs 4*chin (GLU halves back to 2*chin), matching
+        # HDecLayer(chin=2*enc_chout).
+        y = M.ConcatConv2d(4 * self.chin, (3, 3), (1, 1),
                            name="rewrite")(x, skip)
         y = M.glu(y, axis=-1)
         if self.stage <= 0:
