@@ -26,9 +26,7 @@ from aero_tpu.eval.evaluate import evaluate, evaluate_on_saved_data
 from aero_tpu.eval.forward import EvalForward
 from aero_tpu.parallel import mesh as pmesh
 from aero_tpu.train import checkpoint as ckpt
-from aero_tpu.train.train_step import (
-    LossComputer, make_train_step, make_valid_step,
-)
+from aero_tpu.train.train_step import LossComputer, make_train_step
 from aero_tpu.utils.config import to_plain
 from aero_tpu.utils.log import LogProgress, bold, pull_metric
 from aero_tpu.utils import wandb_logger

@@ -1,0 +1,96 @@
+"""Decompose the fused GAN train step on TPU: generator forward,
+generator loss+grad, discriminator loss+grad, optimizer updates.
+
+Usage: python tools/profile_train_step.py [batch=8] [precision=bfloat16]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from aero_tpu.utils.platform import select_platform_from_env  # noqa: E402
+
+select_platform_from_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from aero_tpu.train import build  # noqa: E402
+from aero_tpu.train.train_step import (  # noqa: E402
+    LossComputer, init_state, make_train_step)
+from aero_tpu.parallel import mesh as pmesh  # noqa: E402
+from aero_tpu.utils.config import load_config  # noqa: E402
+
+
+def timeit(fn, *args, n=6):
+    outs = fn(*args)
+    jax.block_until_ready(outs)
+    # force a scalar fetch per call (tunnel-safe timing)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        outs = fn(*args)
+        leaf = jax.tree_util.tree_leaves(outs)[0]
+        float(jnp.sum(leaf))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    args = load_config("conf", "main_config",
+                       ["experiment=aero_4-16_512_64", "dset=debug",
+                        "precision=bfloat16"] + overrides)
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    batch = int(kv.get("batch", 8))
+
+    models = build.build_models(args)
+    mesh = pmesh.make_mesh()
+    lr_shape, hr_shape = build.segment_shapes(args)
+    rng = jax.random.PRNGKey(0)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = build.init_variables(args, models, init_rng, lr_shape,
+                                     hr_shape)
+    state = init_state(args, models, variables, state_rng)
+    state = pmesh.replicate(state, mesh)
+    step = make_train_step(args, models, mesh)
+
+    exp = args.experiment
+    seg = int(exp.segment * exp.lr_sr)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(0.1 * rng.standard_normal((batch, 1, seg)), jnp.float32)
+    hr = jnp.asarray(0.1 * rng.standard_normal((batch, 1, seg * 4)),
+                     jnp.float32)
+
+    t_full = timeit(lambda s, a, b: step(s, a, b), state, lr, hr)
+    print(f"full train step (B={batch}): {t_full * 1e3:8.1f} ms")
+
+    lc = LossComputer(args, models)
+    lstate = pmesh.local_state(state)
+    gen = models["generator"]
+
+    fwd = jax.jit(lambda s, a: gen.apply(
+        {"params": s.gen_params, **s.gen_state}, a, train=True,
+        mutable=["batch_stats"]))
+    print(f"  gen fwd (train=True):      "
+          f"{timeit(fwd, lstate, lr) * 1e3:8.1f} ms")
+
+    def gen_loss(params, s, a, b):
+        pr, _ = gen.apply({"params": params, **s.gen_state}, a,
+                          train=True, mutable=["batch_stats"])
+        losses = lc.generator_losses(pr, b, s.disc_params, s.disc_state,
+                                     train=True)
+        return sum(losses.values())
+
+    ggrad = jax.jit(lambda s, a, b: jax.grad(gen_loss)(
+        s.gen_params, s, a, b))
+    print(f"  gen loss+grad:             "
+          f"{timeit(ggrad, lstate, lr, hr) * 1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
