@@ -688,22 +688,39 @@ class LocalState(nn.Module):
         heads = self.heads
         ch = c // heads
 
-        content = Conv1d(c, 1, name="content")(x).reshape(b, t, heads, ch)
-        queries = Conv1d(c, 1, name="query")(x).reshape(b, t, heads, ch)
-        keys = Conv1d(c, 1, name="key")(x).reshape(b, t, heads, ch)
-        queries = queries / math.sqrt(ch)
-
+        # All four input projections batched into ONE matmul (runtime
+        # kernel concat; per-name param layout unchanged for checkpoint
+        # and torch-import compatibility) — x is read from HBM once
+        # instead of four times.
+        cd = compute_dtype()
+        kc, bc = _ConvParams((1, c, c), name="content")()
+        kq, bq = _ConvParams((1, c, c), name="query")()
+        kk, bk = _ConvParams((1, c, c), name="key")()
+        cat_k = [kc[0], kq[0], kk[0]]
+        cat_b = [bc, bq, bk]
         if self.ndecay:
             # Reference init: weight *= 0.01, bias = -2 so sigmoid starts
             # near 0 -> maximum initial attention window (modules.py:85-88).
             def decay_kernel_init(key, shape, dtype=jnp.float32):
                 return tinit.conv_kernel_init(key, shape, dtype) * 0.01
 
-            decay_q = Conv1d(heads * self.ndecay, 1, name="query_decay",
-                             kernel_init=decay_kernel_init,
-                             bias_init=nn.initializers.constant(-2.0))(x)
+            kshape_d = (1, c, heads * self.ndecay)
+            kd, bd = _ConvParams(
+                kshape_d, kernel_init=decay_kernel_init,
+                bias_init=nn.initializers.constant(-2.0),
+                name="query_decay")()
+            cat_k.append(kd[0])
+            cat_b.append(bd)
+
+        y = x.astype(cd) @ jnp.concatenate(cat_k, axis=1).astype(cd) \
+            + jnp.concatenate(cat_b).astype(cd)
+        content = y[..., :c].reshape(b, t, heads, ch)
+        queries = (y[..., c:2 * c] / math.sqrt(ch)).reshape(b, t, heads, ch)
+        keys = y[..., 2 * c:3 * c].reshape(b, t, heads, ch)
+
+        if self.ndecay:
             decay_q = jax.nn.sigmoid(
-                decay_q.reshape(b, t, heads, self.ndecay)) / 2
+                y[..., 3 * c:].reshape(b, t, heads, self.ndecay)) / 2
             decays = jnp.arange(1, self.ndecay + 1, dtype=x.dtype)
             decay_w = jnp.einsum("bshf,f->bsh", decay_q,
                                  decays) / math.sqrt(self.ndecay)
@@ -809,10 +826,13 @@ class _ConvParams(nn.Module):
     keeping the checkpoint tree identical to a real Conv module."""
 
     kshape: tp.Tuple[int, ...]
+    kernel_init: tp.Optional[tp.Callable] = None
+    bias_init: tp.Optional[tp.Callable] = None
 
     @nn.compact
     def __call__(self):
-        return _RawConvParams(self.kshape, name="conv")()
+        return _RawConvParams(self.kshape, kernel_init=self.kernel_init,
+                              bias_init=self.bias_init, name="conv")()
 
 
 class FTB(nn.Module):
