@@ -96,6 +96,49 @@ def _synthesis_basis(n_fft: int, win_length: int, normalized: bool) -> np.ndarra
     return basis.astype(np.float32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _framed_analysis(x, n_fft: int, hop_length: int, win_length: int,
+                     normalized: bool):
+    """Strided-conv frame+window+rDFT. ``x``: [B, L] (already padded).
+
+    Returns [B, 2F, n_frames]. Wrapped in a custom_vjp because XLA's
+    adjoint of a strided conv is a transposed conv (lhs_dilation) that
+    lowers pathologically on TPU — measured 338 ms of a 547 ms train
+    step just for the multi-res STFT loss backward at B=8. The explicit
+    adjoint below (one GEMM + reshape overlap-add) is ~forward-cost.
+    """
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
+    basis = jnp.asarray(_analysis_basis(n_fft, win_length, normalized))
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :].astype(jnp.float32),
+        basis[:, None, :],
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out[:, :, :n_frames]
+
+
+def _framed_analysis_fwd(x, n_fft, hop_length, win_length, normalized):
+    return (_framed_analysis(x, n_fft, hop_length, win_length, normalized),
+            x.shape[-1])
+
+
+def _framed_analysis_bwd(n_fft, hop_length, win_length, normalized,
+                         padded_len, g):
+    # dx[m] = sum_{c,k} g[c,k] * basis[c, m - k*hop]: one GEMM into
+    # per-frame gradients, then overlap-add (reshape fast path).
+    basis = jnp.asarray(_analysis_basis(n_fft, win_length, normalized))
+    gf = jnp.einsum("bck,cn->bkn", g.astype(jnp.float32), basis)
+    dx = _overlap_add(gf, hop_length)
+    if dx.shape[-1] < padded_len:
+        dx = jnp.pad(dx, ((0, 0), (0, padded_len - dx.shape[-1])))
+    return (dx,)
+
+
+_framed_analysis.defvjp(_framed_analysis_fwd, _framed_analysis_bwd)
+
+
 def stft(
     x: jax.Array,
     n_fft: int,
@@ -119,17 +162,8 @@ def stft(
         raise ValueError(f"signal ({padded_len}) shorter than n_fft ({n_fft})")
     n_frames = 1 + (padded_len - n_fft) // hop_length
 
-    basis = jnp.asarray(_analysis_basis(n_fft, win_length, normalized))
-    # One strided conv == frame + window + rDFT, all on the MXU.
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :].astype(jnp.float32),
-        basis[:, None, :],
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
+    out = _framed_analysis(x, n_fft, hop_length, win_length, normalized)
     freqs = n_fft // 2 + 1
-    out = out[:, :, :n_frames]
     z = jax.lax.complex(out[:, :freqs, :], out[:, freqs:, :])
     return z.reshape(*lead, freqs, n_frames)
 
@@ -137,23 +171,24 @@ def stft(
 def _overlap_add(frames: jax.Array, hop_length: int) -> jax.Array:
     """Overlap-add. ``frames``: [B, n_frames, n_fft] -> [B, n_fft + hop*(F-1)].
 
-    When ``hop`` divides ``n_fft`` this is a sum of ``n_fft // hop``
-    non-overlapping reshapes (pure layout work for XLA); otherwise a
-    scatter-add fallback.
+    A sum of ``ceil(n_fft / hop)`` non-overlapping reshapes (pure layout
+    work for XLA). When ``hop`` does not divide ``n_fft`` the frames are
+    zero-padded up to the next hop multiple first — zeros contribute
+    nothing, and this keeps the reshape fast path universal (the old
+    scatter-add fallback was a TPU performance hazard).
     """
     b, n_frames, n_fft = frames.shape
     out_len = n_fft + hop_length * (n_frames - 1)
-    if n_fft % hop_length == 0:
-        m = n_fft // hop_length
-        chunks = frames.reshape(b, n_frames, m, hop_length)
-        total = jnp.zeros((b, out_len), frames.dtype)
-        for j in range(m):
-            seq = chunks[:, :, j, :].reshape(b, n_frames * hop_length)
-            total = total.at[:, j * hop_length:j * hop_length + n_frames * hop_length].add(seq)
-        return total
-    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
-    flat = frames.reshape(b, -1)
-    return jnp.zeros((b, out_len), frames.dtype).at[:, idx].add(flat)
+    m = -(-n_fft // hop_length)
+    if n_fft % hop_length != 0:
+        frames = jnp.pad(frames,
+                         ((0, 0), (0, 0), (0, m * hop_length - n_fft)))
+    chunks = frames.reshape(b, n_frames, m, hop_length)
+    total = jnp.zeros((b, out_len + m * hop_length - n_fft), frames.dtype)
+    for j in range(m):
+        seq = chunks[:, :, j, :].reshape(b, n_frames * hop_length)
+        total = total.at[:, j * hop_length:j * hop_length + n_frames * hop_length].add(seq)
+    return total[:, :out_len]
 
 
 @functools.lru_cache(maxsize=64)

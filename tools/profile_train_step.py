@@ -57,7 +57,7 @@ def main():
                                      hr_shape)
     state = init_state(args, models, variables, state_rng)
     state = pmesh.replicate(state, mesh)
-    step = make_train_step(args, models, mesh)
+    step = make_train_step(args, models, mesh, donate=False)
 
     exp = args.experiment
     seg = int(exp.segment * exp.lr_sr)
@@ -90,6 +90,40 @@ def main():
         s.gen_params, s, a, b))
     print(f"  gen loss+grad:             "
           f"{timeit(ggrad, lstate, lr, hr) * 1e3:8.1f} ms")
+
+    extra(args, models, lstate, lr, hr)
+
+
+
+
+def extra(args, models, lstate, lr, hr):
+    """Deeper decomposition of the generator backward."""
+    import functools
+    gen = models["generator"]
+    lc = LossComputer(args, models)
+
+    def l1_loss(params, s, a, b):
+        pr, _ = gen.apply({"params": params, **s.gen_state}, a,
+                          train=True, mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(pr - b).astype(jnp.float32))
+
+    g1 = jax.jit(lambda s, a, b: jax.grad(l1_loss)(s.gen_params, s, a, b))
+    print(f"  grad of l1-only:           "
+          f"{timeit(g1, lstate, lr, hr) * 1e3:8.1f} ms")
+
+    def stft_loss(params, s, a, b):
+        pr, _ = gen.apply({"params": params, **s.gen_state}, a,
+                          train=True, mutable=["batch_stats"])
+        losses = lc.generator_losses(pr, b, s.disc_params, s.disc_state,
+                                     train=True)
+        # keep only the non-adversarial terms; XLA DCE prunes the disc
+        return sum(v for k2, v in losses.items()
+                   if "melgan" not in k2 and "hifi" not in k2
+                   and "adversarial" not in k2 and "features" not in k2)
+
+    g2 = jax.jit(lambda s, a, b: jax.grad(stft_loss)(s.gen_params, s, a, b))
+    print(f"  grad of l1+stft (no disc): "
+          f"{timeit(g2, lstate, lr, hr) * 1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
