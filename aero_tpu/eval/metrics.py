@@ -86,9 +86,13 @@ def get_visqol(ref_sig: np.ndarray, out_sig: np.ndarray, filename: str,
         logger.info(f"failed to get visqol of {filename}: {e}")
         return 0.0
     else:
-        os.remove(tmp_reference)
-        os.remove(tmp_estimation)
         return visqol
+    finally:
+        # the reference leaks the temp wavs on failure (metrics.py:123-131);
+        # SURVEY §2.5 says don't replicate defects
+        for tmp in (tmp_reference, tmp_estimation):
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
 
 def run_metrics(clean: np.ndarray, estimate: np.ndarray, args, filename: str):

@@ -206,7 +206,12 @@ def _freq_conv_blocked(x, kernel, stride: int, pad: int):
     f_out = (f + 2 * pad - k) // s + 1
     need = s * (f_out - 1) + k          # padded extent actually touched
     blocks = -(-need // s)
-    xp = jnp.pad(x, ((0, 0), (pad, blocks * s - f - pad), (0, 0), (0, 0)))
+    right = blocks * s - f - pad
+    if right >= 0:
+        xp = jnp.pad(x, ((0, 0), (pad, right), (0, 0), (0, 0)))
+    else:
+        # conv discards the last |right| input rows (stride skips them)
+        xp = jnp.pad(x[:, :f + right], ((0, 0), (pad, 0), (0, 0), (0, 0)))
     xb = xp.reshape(b, blocks, s, t, ci)
     wk = kernel.reshape(k // s, s, ci, kernel.shape[-1])
     y = None

@@ -92,11 +92,22 @@ def coordination_barrier(name: str = "aero", timeout_ms: int = 1_800_000):
     ranks at the FIRST collective kills the job; this barrier tolerates
     arbitrarily long skew. Used to line ranks up after big compiles."""
     if jax.process_count() > 1:
-        from jax._src import distributed
+        try:
+            # jax._src.distributed is private and moves between releases
+            # (verified present in the pinned jax of this image); fall
+            # back to the device-collective barrier if it disappears.
+            from jax._src import distributed
 
-        client = distributed.global_state.client
-        if client is not None:
-            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+            client = distributed.global_state.client
+            if client is not None:
+                client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+        except (ImportError, AttributeError) as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"coordination-service barrier unavailable ({e}); "
+                f"falling back to device-collective sync")
+            barrier(name)
 
 
 def barrier(name: str = "aero_barrier") -> None:

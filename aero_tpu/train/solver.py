@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from aero_tpu.data.datasets import PrHrSet, match_signal
-from aero_tpu.data.loader import Loader
 from aero_tpu.eval.enhance import save_specs, save_wavs
 from aero_tpu.eval.evaluate import evaluate, evaluate_on_saved_data
 from aero_tpu.eval.forward import EvalForward
@@ -276,8 +275,6 @@ class Solver:
 
                 if evaluated_on_test and enhanced_filenames:
                     enhanced = PrHrSet(self.samples_dir, enhanced_filenames)
-                    dl = Loader(enhanced, batch_size=1, shuffle=False,
-                                num_workers=0)
                     lsd, visqol = evaluate_on_saved_data(self.args, enhanced,
                                                          epoch)
                 else:

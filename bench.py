@@ -123,11 +123,15 @@ def main():
     assert np.isfinite(acc)
 
     rtf = batch * CHUNK_SEC / dt
+    # "mode" records the methodology so numbers are never silently
+    # compared across estimators (pipelined = amortized async-dispatch
+    # throughput; latency = per-call-fetch median).
     print(json.dumps({
         "metric": "realtime_factor",
         "value": round(rtf, 2),
         "unit": "audio_sec_per_sec",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "mode": "pipelined" if pipelined else "latency",
     }))
 
 

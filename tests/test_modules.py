@@ -185,3 +185,24 @@ def test_query_decay_init_parity():
     # regular convs keep the plain init
     qk = v["params"]["query"]["conv"]["kernel"]
     assert float(np.abs(np.asarray(qk)).max()) > 0.01
+
+
+def test_freq_conv_blocked_negative_right_pad():
+    """Shapes where (F + 2p - k) % s > p used to compute a negative
+    right pad and crash jnp.pad (advisor finding r2). The blocked path
+    must match lax.conv on them (the stride skips the tail rows)."""
+    from aero_tpu.models.modules import _freq_conv_blocked
+
+    rng = np.random.default_rng(0)
+    for f, k, s, pad in [(259, 8, 4, 2), (16, 8, 4, 2), (257, 8, 4, 2),
+                         (63, 4, 2, 1), (64, 4, 2, 1)]:
+        x = jnp.asarray(rng.standard_normal((2, f, 5, 3)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 3, 4)).astype(np.float32))
+        got = _freq_conv_blocked(x, w, s, pad)
+        want = jax.lax.conv_general_dilated(
+            jnp.transpose(x, (0, 3, 1, 2)),
+            jnp.transpose(w, (0, 1, 2))[:, None].transpose(3, 2, 0, 1),
+            (s, 1), [(pad, pad), (0, 0)])
+        want = jnp.transpose(want, (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)

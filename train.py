@@ -47,15 +47,23 @@ def maybe_init_distributed(args):
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
         os.environ.get("COORDINATOR_ADDRESS")
     if bool(args.get("ddp")) or coord:
+        kw = {}
+        # Explicit rendezvous (no cluster auto-detect plugin exists for
+        # plain multi-process CPU/GPU pools): JAX_COORDINATOR_ADDRESS +
+        # JAX_NUM_PROCESSES + JAX_PROCESS_ID mirror initialize()'s kwargs.
+        rendezvous = {v: os.environ.get(v) for v in
+                      ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")}
+        if coord and any(rendezvous.values()):
+            missing = [v for v, val in rendezvous.items() if not val]
+            if missing:  # misconfigured launch: fail with the fix, not KeyError
+                raise RuntimeError(
+                    "explicit rendezvous needs JAX_COORDINATOR_ADDRESS, "
+                    "JAX_NUM_PROCESSES and JAX_PROCESS_ID; missing: "
+                    + ", ".join(missing))
+            kw = dict(coordinator_address=coord,
+                      num_processes=int(rendezvous["JAX_NUM_PROCESSES"]),
+                      process_id=int(rendezvous["JAX_PROCESS_ID"]))
         try:
-            kw = {}
-            # Explicit rendezvous (no cluster auto-detect plugin exists for
-            # plain multi-process CPU/GPU pools): JAX_COORDINATOR_ADDRESS +
-            # JAX_NUM_PROCESSES + JAX_PROCESS_ID mirror initialize()'s kwargs.
-            if coord and os.environ.get("JAX_NUM_PROCESSES"):
-                kw = dict(coordinator_address=coord,
-                          num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                          process_id=int(os.environ["JAX_PROCESS_ID"]))
             jax.distributed.initialize(**kw)
             logger.info(
                 f"jax.distributed initialized: process "
