@@ -12,19 +12,36 @@ import jax.numpy as jnp
 import jax
 
 
-def melgan_discriminator_loss(disc_fake, disc_real):
+def _scale_mean(x, n_valid=None):
+    """Mean over a [B, T, C] feature map; with ``n_valid`` (traced), the
+    masked mean over the first n_valid time steps (bucketed-exact eval).
+    Masks AFTER the caller's pointwise transform: e.g. relu(1 + 0) = 1
+    at padded positions even though the feature map itself is zeroed."""
+    if n_valid is None:
+        return jnp.mean(x)
+    mask = (jnp.arange(x.shape[1])[None, :, None] < n_valid).astype(x.dtype)
+    return jnp.sum(x * mask) / (x.shape[0] * n_valid * x.shape[-1])
+
+
+def melgan_discriminator_loss(disc_fake, disc_real, valid_lengths=None):
     """Hinge loss over the last (logit) map of each scale
-    (solver.py:490-497). ``disc_*``: list (scales) of feature lists."""
+    (solver.py:490-497). ``disc_*``: list (scales) of feature lists.
+    ``valid_lengths``: per-scale per-layer traced lengths from the
+    masked discriminator (bucketed-exact eval)."""
     loss = 0.0
-    for scale in disc_fake:
-        loss += jnp.mean(jax.nn.relu(1 + scale[-1]))
-    for scale in disc_real:
-        loss += jnp.mean(jax.nn.relu(1 - scale[-1]))
+    for i, scale in enumerate(disc_fake):
+        n = valid_lengths[i][-1] if valid_lengths is not None else None
+        loss += _scale_mean(jax.nn.relu(1 + scale[-1]), n)
+    for i, scale in enumerate(disc_real):
+        n = valid_lengths[i][-1] if valid_lengths is not None else None
+        loss += _scale_mean(jax.nn.relu(1 - scale[-1]), n)
     return loss
 
 
-def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int):
-    """Returns (adversarial, unweighted feature loss) (solver.py:499-520)."""
+def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int,
+                            valid_lengths=None):
+    """Returns (adversarial, unweighted feature loss) (solver.py:499-520).
+    ``valid_lengths``: see melgan_discriminator_loss."""
     features_weights = 4.0 / (n_layers + 1)
     discriminator_weights = 1.0 / num_d
     weights = discriminator_weights * features_weights
@@ -32,12 +49,15 @@ def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int):
     features_loss = 0.0
     for i in range(num_d):
         for j in range(len(disc_fake[i]) - 1):
-            features_loss += weights * jnp.mean(
-                jnp.abs(disc_fake[i][j] - jax.lax.stop_gradient(disc_real[i][j])))
+            n = valid_lengths[i][j] if valid_lengths is not None else None
+            features_loss += weights * _scale_mean(
+                jnp.abs(disc_fake[i][j]
+                        - jax.lax.stop_gradient(disc_real[i][j])), n)
 
     adversarial_loss = 0.0
-    for scale in disc_fake:
-        adversarial_loss += jnp.mean(jax.nn.relu(1 - scale[-1]))
+    for i, scale in enumerate(disc_fake):
+        n = valid_lengths[i][-1] if valid_lengths is not None else None
+        adversarial_loss += _scale_mean(jax.nn.relu(1 - scale[-1]), n)
     return adversarial_loss, features_loss
 
 

@@ -192,8 +192,13 @@ class SNConv1d(nn.Module):
 
 
 def avg_pool1d(x, kernel: int, stride: int, padding: int,
-               count_include_pad: bool = True):
-    """torch AvgPool1d on [B, T, C]."""
+               count_include_pad: bool = True, n_valid=None):
+    """torch AvgPool1d on [B, T, C].
+
+    ``n_valid`` (traced scalar): treat only the first n_valid samples as
+    the signal — the count_include_pad=False divisor counts in-[0, n)
+    positions, so outputs covering the n-boundary equal what torch
+    produces on an exact length-n input (bucketed eval exactness)."""
     ones = jnp.ones((1, 1, kernel), x.dtype)  # OIH layout
     b, t, c = x.shape
     xt = jnp.moveaxis(x, -1, 1).reshape(b * c, 1, t)
@@ -203,12 +208,34 @@ def avg_pool1d(x, kernel: int, stride: int, padding: int,
     if count_include_pad:
         out = sums / kernel
     else:
+        support = jnp.ones((1, 1, t), x.dtype) if n_valid is None else \
+            (jnp.arange(t)[None, None, :] < n_valid).astype(x.dtype)
         cnt = jax.lax.conv_general_dilated(
-            jnp.ones((1, 1, t), x.dtype), ones, (stride,),
+            support, ones, (stride,),
             [(padding, padding)], dimension_numbers=("NCH", "OIH", "NCH"))
-        out = sums / cnt
+        out = sums / jnp.maximum(cnt, 1e-12)
     out = out.reshape(b, c, -1)
     return jnp.moveaxis(out, 1, -1)
+
+
+def _mask_time(x, n_valid):
+    """Zero [B, T, C] beyond time index n_valid (traced scalar)."""
+    idx = jnp.arange(x.shape[1])[None, :, None]
+    return x * (idx < n_valid).astype(x.dtype)
+
+
+def _reflect_tail_fix(x, n_valid, pad: int):
+    """Write x[n-2-i] at positions n+i (i < pad) of [B, T, C] — the tail
+    a reflect-pad of an exact length-``n_valid`` signal would read.
+    Requires n_valid + pad <= T and n_valid >= pad + 2."""
+    tail = jax.lax.dynamic_slice_in_dim(x, n_valid - pad - 1, pad, axis=1)
+    return jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.flip(tail, axis=1), n_valid, axis=1)
+
+
+def _conv_out_len(n, kernel: int, stride: int, padding: int):
+    """torch Conv1d length arithmetic on a traced length."""
+    return (n + 2 * padding - kernel) // stride + 1
 
 
 def reflect_pad_time(x, pad: int):
@@ -225,11 +252,26 @@ class NLayerDiscriminator(nn.Module):
     downsampling_factor: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, n_valid=None):
+        """``n_valid`` (traced scalar): x is a length-n signal padded to
+        a static bucket; every feature map is zero-masked past the valid
+        length an exact-length input would produce (features beyond each
+        layer's valid extent are garbage computed from padding and would
+        otherwise leak into the next layer, whereas the exact-length run
+        sees the conv's implicit zeros there). With the reflected tail
+        of ``reflect_pad_time`` already present at [n, n+7) the masked
+        maps are bit-identical to the exact-length run. Returns
+        (results, valid_lengths) in this mode."""
         results = []
+        lengths = []
         h = reflect_pad_time(x, 7)
         h = WNConv1d(self.ndf, 15, name="layer_0")(h)
         h = leaky_relu(h, 0.2)
+        ln = None
+        if n_valid is not None:
+            ln = n_valid                  # k=15, p=7 (explicit), s=1
+            h = _mask_time(h, ln)
+            lengths.append(ln)
         results.append(h)
 
         nf = self.ndf
@@ -242,17 +284,31 @@ class NLayerDiscriminator(nn.Module):
                          padding=stride * 5, groups=nf_prev // 4,
                          name=f"layer_{n}")(h)
             h = leaky_relu(h, 0.2)
+            if n_valid is not None:
+                ln = _conv_out_len(ln, stride * 10 + 1, stride, stride * 5)
+                h = _mask_time(h, ln)
+                lengths.append(ln)
             results.append(h)
 
         nf = min(nf * 2, max_nf)
         h = WNConv1d(nf, 5, stride=1, padding=2,
                      name=f"layer_{self.n_layers + 1}")(h)
         h = leaky_relu(h, 0.2)
+        if n_valid is not None:
+            ln = _conv_out_len(ln, 5, 1, 2)
+            h = _mask_time(h, ln)
+            lengths.append(ln)
         results.append(h)
 
         h = WNConv1d(1, 3, stride=1, padding=1,
                      name=f"layer_{self.n_layers + 2}")(h)
+        if n_valid is not None:
+            ln = _conv_out_len(ln, 3, 1, 1)
+            h = _mask_time(h, ln)
+            lengths.append(ln)
         results.append(h)
+        if n_valid is not None:
+            return results, lengths
         return results
 
 
@@ -268,15 +324,35 @@ class MelganDiscriminator(nn.Module):
     downsampling_factor: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, n_valid=None):
+        """``n_valid`` (traced scalar): bucketed-exact mode — see
+        NLayerDiscriminator. Each scale gets a zero-masked signal with
+        the reflected tail an exact-length run would see, and the
+        between-scale AvgPool uses the masked divisor. Returns
+        (results, valid_lengths) in this mode."""
         results = []
+        if n_valid is None:
+            for i in range(self.num_D):
+                results.append(
+                    NLayerDiscriminator(self.ndf, self.n_layers,
+                                        self.downsampling_factor,
+                                        name=f"disc_{i}")(x))
+                x = avg_pool1d(x, 4, 2, 1, count_include_pad=False)
+            return results
+
+        lengths = []
+        n = n_valid
         for i in range(self.num_D):
-            results.append(
-                NLayerDiscriminator(self.ndf, self.n_layers,
-                                    self.downsampling_factor,
-                                    name=f"disc_{i}")(x))
-            x = avg_pool1d(x, 4, 2, 1, count_include_pad=False)
-        return results
+            xi = _reflect_tail_fix(_mask_time(x, n), n, 7)
+            res, lens = NLayerDiscriminator(
+                self.ndf, self.n_layers, self.downsampling_factor,
+                name=f"disc_{i}")(xi, n_valid=n)
+            results.append(res)
+            lengths.append(lens)
+            x = avg_pool1d(_mask_time(x, n), 4, 2, 1,
+                           count_include_pad=False, n_valid=n)
+            n = _conv_out_len(n, 4, 2, 1)
+        return results, lengths
 
 
 def get_padding(kernel_size, dilation=1):

@@ -87,17 +87,19 @@ class Solver:
     def _make_loss_only(self):
         """Jitted loss-only computation for full-length validation
         (reference runs valid losses on full files, solver.py:353-425).
-        jax.jit caches one executable per input length."""
+        jax.jit caches one executable per input length (bucket)."""
         lc = LossComputer(self.args, self.models)
 
         @jax.jit
-        def loss_fn(state, pr, hr):
+        def loss_fn(state, pr, hr, n_valid):
             gen_losses = lc.generator_losses(pr, hr, state.disc_params,
-                                             state.disc_state, train=False)
+                                             state.disc_state, train=False,
+                                             n_valid=n_valid)
             metrics = {f"generator_{k}": v for k, v in gen_losses.items()}
             if lc.adversarial and state.disc_params:
                 disc_losses, _ = lc.discriminator_losses(
-                    pr, hr, state.disc_params, state.disc_state, train=False)
+                    pr, hr, state.disc_params, state.disc_state, train=False,
+                    n_valid=n_valid)
                 metrics.update({f"discriminator_{k}": v
                                 for k, v in disc_losses.items()})
             metrics["total"] = sum(gen_losses.values())
@@ -111,24 +113,31 @@ class Solver:
         ``eval_bucket_s`` so the loss jit compiles once per bucket
         instead of once per distinct file length — on VCTK-scale eval
         sets the per-length compiles otherwise dominate wall-clock.
-        The reference computes valid losses on exact lengths (eager
-        torch, solver.py:353-425); bucketing shifts the absolute loss
-        slightly (the reflected tail is included) but is consistent
-        across epochs, which is all best-state selection needs.
-        ``eval_bucket_s: 0`` restores exact-length behavior."""
+        The losses themselves are computed with valid-length masks (and
+        a reflect-pad margin >= the largest STFT center pad), so they
+        EQUAL the reference's exact-length computation (solver.py:
+        353-425) — see tests/test_valid_masking.py. ``eval_bucket_s: 0``
+        restores literal exact-length shapes (one compile per length)."""
         import math as _math
 
         from aero_tpu.eval.forward import _pad_reflect_tail
+        from aero_tpu.losses.stft_loss import STFT_LOSS_PAD_MARGIN
 
+        n = int(hr.shape[-1])
         bucket = int(float(self.args.get("eval_bucket_s", 1.0))
                      * int(self.args.experiment.hr_sr))
+        n_valid = None
         if bucket > 0:
-            tgt = max(bucket,
-                      int(_math.ceil(hr.shape[-1] / bucket)) * bucket)
+            # margin past n so masked STFT frames and the melgan reflect
+            # tail are computed from real reflected samples, not the
+            # next file's bucket boundary
+            tgt = max(bucket, int(_math.ceil(
+                (n + STFT_LOSS_PAD_MARGIN) / bucket)) * bucket)
             pr = _pad_reflect_tail(np.asarray(pr, np.float32), tgt)
             hr = _pad_reflect_tail(np.asarray(hr, np.float32), tgt)
+            n_valid = jnp.asarray(n, jnp.int32)
         return jax.device_get(self.valid_loss_fn(
-            lstate, jnp.asarray(pr), jnp.asarray(hr)))
+            lstate, jnp.asarray(pr), jnp.asarray(hr), n_valid))
 
     def _copy_models_states(self):
         host = jax.device_get(self.state)

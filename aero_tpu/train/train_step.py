@@ -99,38 +99,70 @@ class LossComputer:
         self.only_adversarial = bool(exp.get("only_adversarial_loss", False))
         self.feat_lambda = float(exp.get("features_loss_lambda", 100))
 
-    def generator_losses(self, pr, hr, disc_params, disc_state, train):
-        """Returns ({name: loss}, {}) — gen losses given current discs."""
+    def generator_losses(self, pr, hr, disc_params, disc_state, train,
+                         n_valid=None):
+        """Returns ({name: loss}, {}) — gen losses given current discs.
+
+        ``n_valid`` (traced scalar): bucketed-exact eval mode. pr/hr are
+        exact length-n signals reflect-tail-padded to a static bucket
+        (margin >= STFT_LOSS_PAD_MARGIN); every loss is computed with
+        masks so it equals the exact-length reference computation
+        (solver.py:353-425) — exactly for l1/l2/stft/melgan, and for the
+        hifi discs on zero-masked signals (per-layer masking of the
+        period/scale stacks is not implemented; consistent across
+        epochs, which best-state selection needs)."""
         exp = self.args.experiment
         out = {}
+        if n_valid is not None:
+            tmask = (jnp.arange(pr.shape[-1])[None, None, :]
+                     < n_valid).astype(pr.dtype)
+            denom = pr.shape[0] * pr.shape[1] * n_valid
         if "l1" in self.losses:
-            out["l1"] = jnp.mean(jnp.abs(pr - hr))
+            out["l1"] = jnp.mean(jnp.abs(pr - hr)) if n_valid is None else \
+                jnp.sum(jnp.abs(pr - hr) * tmask) / denom
         if "l2" in self.losses:
-            out["l2"] = jnp.mean((pr - hr) ** 2)
+            out["l2"] = jnp.mean((pr - hr) ** 2) if n_valid is None else \
+                jnp.sum(((pr - hr) ** 2) * tmask) / denom
         if "stft" in self.losses:
             sc, mag = multi_resolution_stft_loss(
                 pr[:, 0, :], hr[:, 0, :],
                 factor_sc=float(self.args.stft_sc_factor),
-                factor_mag=float(self.args.stft_mag_factor))
+                factor_mag=float(self.args.stft_mag_factor),
+                n_valid=n_valid)
             out["stft"] = sc + mag
 
         if not self.adversarial:
             return out
 
         pr_tc, hr_tc = _to_tc(pr), _to_tc(hr)
+        if n_valid is not None:
+            # hifi discs see zero-masked signals (see docstring); the
+            # melgan disc masks internally given n_valid.
+            zmask = jnp.swapaxes(tmask, 1, 2)
         if "msd_melgan" in self.disc_names:
             disc = self.models["msd_melgan"]
             p = disc_params["msd_melgan"]
-            d_fake = disc.apply({"params": p}, pr_tc)
-            d_real = disc.apply({"params": p}, hr_tc)
+            if n_valid is None:
+                d_fake = disc.apply({"params": p}, pr_tc)
+                d_real = disc.apply({"params": p}, hr_tc)
+                lens = None
+            else:
+                d_fake, lens = disc.apply({"params": p}, pr_tc,
+                                          n_valid=n_valid)
+                d_real, _ = disc.apply({"params": p}, hr_tc,
+                                       n_valid=n_valid)
             adv, feat = melgan_generator_losses(
                 d_fake, d_real,
                 n_layers=int(exp.melgan_discriminator.n_layers),
-                num_d=int(exp.melgan_discriminator.num_D))
+                num_d=int(exp.melgan_discriminator.num_D),
+                valid_lengths=lens)
             if not self.only_features:
                 out["adversarial_melgan"] = adv
             if not self.only_adversarial:
                 out["features_melgan"] = self.feat_lambda * feat
+        if n_valid is not None:
+            pr_tc = pr_tc * zmask
+            hr_tc = hr_tc * zmask
         if "msd_hifi" in self.disc_names:
             disc = self.models["msd_hifi"]
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
@@ -171,17 +203,32 @@ class LossComputer:
                                            + fm + loss_mel)
         return out
 
-    def discriminator_losses(self, pr_sg, hr, disc_params, disc_state, train):
-        """Returns ({name: loss}, new_disc_state)."""
+    def discriminator_losses(self, pr_sg, hr, disc_params, disc_state, train,
+                             n_valid=None):
+        """Returns ({name: loss}, new_disc_state). ``n_valid``: bucketed-
+        exact eval mode, see ``generator_losses``."""
         out = {}
         new_state = dict(disc_state)
         pr_tc, hr_tc = _to_tc(pr_sg), _to_tc(hr)
         if "msd_melgan" in self.disc_names:
             disc = self.models["msd_melgan"]
             p = disc_params["msd_melgan"]
-            d_fake = disc.apply({"params": p}, pr_tc)
-            d_real = disc.apply({"params": p}, hr_tc)
-            out["msd_melgan"] = melgan_discriminator_loss(d_fake, d_real)
+            if n_valid is None:
+                d_fake = disc.apply({"params": p}, pr_tc)
+                d_real = disc.apply({"params": p}, hr_tc)
+                lens = None
+            else:
+                d_fake, lens = disc.apply({"params": p}, pr_tc,
+                                          n_valid=n_valid)
+                d_real, _ = disc.apply({"params": p}, hr_tc,
+                                       n_valid=n_valid)
+            out["msd_melgan"] = melgan_discriminator_loss(
+                d_fake, d_real, valid_lengths=lens)
+        if n_valid is not None:
+            zmask = (jnp.arange(pr_tc.shape[1])[None, :, None]
+                     < n_valid).astype(pr_tc.dtype)
+            pr_tc = pr_tc * zmask
+            hr_tc = hr_tc * zmask
         if "msd_hifi" in self.disc_names or "hifi" in self.disc_names:
             disc = self.models["msd_hifi"]
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}

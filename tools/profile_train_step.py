@@ -41,12 +41,12 @@ def timeit(fn, *args, n=6):
 
 
 def main():
-    overrides = [a for a in sys.argv[1:] if "=" in a]
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    batch = int(kv.pop("batch", 8))
+    overrides = [f"{k}={v}" for k, v in kv.items()]
     args = load_config("conf", "main_config",
                        ["experiment=aero_4-16_512_64", "dset=debug",
                         "precision=bfloat16"] + overrides)
-    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
-    batch = int(kv.get("batch", 8))
 
     models = build.build_models(args)
     mesh = pmesh.make_mesh()
@@ -91,6 +91,42 @@ def main():
     print(f"  gen loss+grad:             "
           f"{timeit(ggrad, lstate, lr, hr) * 1e3:8.1f} ms")
 
+    # discriminator side: loss+grad w.r.t. disc params (pr detached),
+    # the 3 disc forwards + backwards of solver.py:479-497 equivalent
+    pr = jax.jit(lambda s, a: gen.apply(
+        {"params": s.gen_params, **s.gen_state}, a, train=False))(lstate, lr)
+    pr = jax.block_until_ready(pr)
+
+    def disc_loss(dparams, s, p, b):
+        losses, _ = lc.discriminator_losses(p, b, dparams, s.disc_state,
+                                            train=True)
+        return sum(losses.values())
+
+    if lc.adversarial:
+        dgrad = jax.jit(lambda s, p, b: jax.grad(disc_loss)(
+            s.disc_params, s, p, b))
+        print(f"  disc loss+grad:            "
+              f"{timeit(dgrad, lstate, pr, hr) * 1e3:8.1f} ms")
+
+        dfwd = jax.jit(lambda s, p, b: disc_loss(s.disc_params, s, p, b))
+        print(f"  disc loss fwd only:        "
+              f"{timeit(dfwd, lstate, pr, hr) * 1e3:8.1f} ms")
+
+    # optimizer update cost (gen tree, adam)
+    from aero_tpu.train.train_step import make_optimizer
+    import optax
+    opt = make_optimizer(args)
+    gg = jax.jit(lambda s, a, b: jax.grad(gen_loss)(s.gen_params, s, a, b))(
+        lstate, lr, hr)
+    gg = jax.block_until_ready(gg)
+
+    def opt_step(grads, s):
+        upd, new_opt = opt.update(grads, s.gen_opt_state, s.gen_params)
+        return optax.apply_updates(s.gen_params, upd), new_opt
+
+    print(f"  gen adam update:           "
+          f"{timeit(jax.jit(opt_step), gg, lstate) * 1e3:8.1f} ms")
+
     extra(args, models, lstate, lr, hr)
 
 
@@ -124,6 +160,22 @@ def extra(args, models, lstate, lr, hr):
     g2 = jax.jit(lambda s, a, b: jax.grad(stft_loss)(s.gen_params, s, a, b))
     print(f"  grad of l1+stft (no disc): "
           f"{timeit(g2, lstate, lr, hr) * 1e3:8.1f} ms")
+
+    def adv_loss(params, s, a, b):
+        """Adversarial+feature terms only: isolates the disc-through-
+        generator backward (3rd disc forward, solver.py:481 equiv)."""
+        pr, _ = gen.apply({"params": params, **s.gen_state}, a,
+                          train=True, mutable=["batch_stats"])
+        losses = lc.generator_losses(pr, b, s.disc_params, s.disc_state,
+                                     train=True)
+        return sum(v for k2, v in losses.items()
+                   if "adversarial" in k2 or "features" in k2)
+
+    if lc.adversarial:
+        g3 = jax.jit(lambda s, a, b: jax.grad(adv_loss)(
+            s.gen_params, s, a, b))
+        print(f"  grad of adv-only (gen):    "
+              f"{timeit(g3, lstate, lr, hr) * 1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
