@@ -79,5 +79,6 @@ def load_generator_state(args, models):
     gen_template = {"params": state.gen_params, **state.gen_state}
     loaded = dict(ckpt.load_generator_variables(
         str(args.checkpoint_file), gen_template,
-        load_best=bool(args.get("continue_best", False))))
+        load_best=bool(args.get("continue_best", False)),
+        model=str(args.experiment.model)))
     return state.replace(gen_params=loaded.pop("params"), gen_state=loaded)

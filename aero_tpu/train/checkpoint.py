@@ -123,18 +123,21 @@ def best_states_from_package(package: dict):
     return package.get(SERIALIZE_KEY_BEST_STATES) or None
 
 
-def load_generator_variables(path: str, template_variables, load_best=False):
+def load_generator_variables(path: str, template_variables, load_best=False,
+                             model: str = "aero"):
     """Load just the generator (test.py/predict.py contract,
     /root/reference/test.py:26-40). Supports both our .atpu packages and
-    reference .th checkpoints."""
+    reference .th checkpoints (any generator family, ``model`` selects
+    the key map — reference serializes any generator,
+    src/model_serializer.py:39-63)."""
     if path.endswith(".th"):
         from aero_tpu.train import torch_import
 
         pkg = torch_import.load_torch_checkpoint(path)
         sd = (pkg["best_states"] if load_best and pkg["best_states"]
               else pkg["models"])["generator"]
-        return torch_import.import_aero_state(
-            sd, jax.tree.map(np.asarray, dict(template_variables)))
+        return torch_import.import_generator_state(
+            model, sd, jax.tree.map(np.asarray, dict(template_variables)))
 
     package = load_package(path)
     if load_best and package.get(SERIALIZE_KEY_BEST_STATES):

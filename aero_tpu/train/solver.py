@@ -180,8 +180,8 @@ class Solver:
         src = pkg["best_states"] if load_best and pkg["best_states"] \
             else pkg["models"]
         host = jax.device_get(self.state)
-        gen_vars = torch_import.import_aero_state(
-            src["generator"],
+        gen_vars = torch_import.import_generator_state(
+            str(self.args.experiment.model), src["generator"],
             {"params": host.gen_params, **host.gen_state})
         gen_vars = dict(gen_vars)
         host = host.replace(gen_params=gen_vars.pop("params"),

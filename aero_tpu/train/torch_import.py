@@ -235,6 +235,84 @@ def export_aero_state(variables, freq_kernel_4d: bool = True):
     return out
 
 
+def import_seanet_state(state_dict: tp.Mapping[str, np.ndarray], variables):
+    """Map a reference Seanet state_dict onto our variables
+    (reference src/models/seanet.py:26-121; serialized by
+    src/model_serializer.py:39-63 and loaded by test.py:26-40).
+
+    Torch module layout: ``encoder`` is a ModuleList
+    [Sequential(pad, WNConv), per-ratio Sequential(res..., relu, WNConv),
+    Sequential(relu, pad, WNConv)]; ``decoder`` mirrors it with a
+    WNConvTranspose at index 1 of each ratio block. Our flax params are
+    flat: enc_in_conv, enc_{i}_res_{j}.{block_conv1,block_conv2,shortcut},
+    enc_{i}_conv, enc_out_conv, dec_in_conv, dec_{i}_convtr,
+    dec_{i}_res_{j}..., dec_out_conv.
+    """
+    import jax
+
+    out = jax.tree.map(np.asarray, dict(variables))
+    params = out["params"]
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    used = set()
+
+    enc_ids = [int(m.group(1)) for k in params
+               for m in [re.fullmatch(r"enc_(\d+)_conv", k)] if m]
+    n_ratios = 1 + max(enc_ids)
+    res_ids = [int(m.group(2)) for k in params
+               for m in [re.fullmatch(r"enc_(\d+)_res_(\d+)", k)] if m]
+    n_res = 1 + max(res_ids) if res_ids else 0
+
+    def set_wn(tree, prefix, transpose):
+        tree["v"] = np.transpose(sd[f"{prefix}.weight_v"], transpose)
+        tree["g"] = sd[f"{prefix}.weight_g"].reshape(-1)
+        tree["bias"] = sd[f"{prefix}.bias"]
+        used.update(f"{prefix}.{s}" for s in ("weight_v", "weight_g", "bias"))
+
+    set_wn(params["enc_in_conv"], "encoder.0.1", (2, 1, 0))
+    for i in range(n_ratios):
+        tmod = f"encoder.{i + 1}"
+        for j in range(n_res):
+            base = f"{tmod}.{j}"
+            set_wn(params[f"enc_{i}_res_{j}"]["block_conv1"],
+                   f"{base}.block.2", (2, 1, 0))
+            set_wn(params[f"enc_{i}_res_{j}"]["block_conv2"],
+                   f"{base}.block.4", (2, 1, 0))
+            set_wn(params[f"enc_{i}_res_{j}"]["shortcut"],
+                   f"{base}.shortcut", (2, 1, 0))
+        set_wn(params[f"enc_{i}_conv"], f"{tmod}.{n_res + 1}", (2, 1, 0))
+    set_wn(params["enc_out_conv"], f"encoder.{n_ratios + 1}.2", (2, 1, 0))
+
+    set_wn(params["dec_in_conv"], "decoder.0.2", (2, 1, 0))
+    for i in range(n_ratios):
+        tmod = f"decoder.{i + 1}"
+        set_wn(params[f"dec_{i}_convtr"], f"{tmod}.1", (2, 0, 1))
+        for j in range(n_res):
+            base = f"{tmod}.{j + 2}"
+            set_wn(params[f"dec_{i}_res_{j}"]["block_conv1"],
+                   f"{base}.block.2", (2, 1, 0))
+            set_wn(params[f"dec_{i}_res_{j}"]["block_conv2"],
+                   f"{base}.block.4", (2, 1, 0))
+            set_wn(params[f"dec_{i}_res_{j}"]["shortcut"],
+                   f"{base}.shortcut", (2, 1, 0))
+    set_wn(params["dec_out_conv"], f"decoder.{n_ratios + 1}.2", (2, 1, 0))
+
+    leftover = {k for k in sd if k not in used
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise KeyError(f"unconsumed torch keys: {sorted(leftover)[:8]} ...")
+    return out
+
+
+def import_generator_state(model_name: str,
+                           state_dict: tp.Mapping[str, np.ndarray],
+                           variables):
+    """Dispatch checkpoint import on the generator family (the reference
+    serializes/loads any generator, src/model_serializer.py:39-63)."""
+    if model_name == "seanet":
+        return import_seanet_state(state_dict, variables)
+    return import_aero_state(state_dict, variables)
+
+
 def melgan_torch_prefix(disc: str, layer: str, n_layers: int) -> str:
     """Torch key prefix for a melgan discriminator (flax ``disc_i/layer_n``).
 

@@ -100,3 +100,35 @@ def test_seanet_forward_parity():
     assert got.shape == want.shape == (2, 1, 16000)
     err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
     assert err < 2e-2, err
+
+
+def test_seanet_torch_checkpoint_import(tmp_path):
+    """Checkpoint-level parity: a reference-format checkpoint.th holding
+    a torch Seanet state_dict loads through load_generator_variables
+    (model='seanet') and reproduces the torch forward (the reference
+    serializes ANY generator, src/model_serializer.py:39-63)."""
+    from aero_tpu.train import checkpoint as ckpt
+
+    torch.manual_seed(1)
+    tm = TorchSeanet(**KW)
+    tm.eval()
+    path = str(tmp_path / "checkpoint.th")
+    torch.save({
+        "models": {"generator": {"class": None, "args": [], "kwargs": {},
+                                 "state": tm.state_dict()}},
+        "optimizers": {}, "history": [], "best_states": {}, "args": {},
+    }, path)
+
+    jm = Seanet(**{**KW, "ratios": tuple(KW["ratios"])})
+    rng = np.random.default_rng(3)
+    x = (0.2 * rng.standard_normal((1, 1, 4000))).astype(np.float32)
+    template = jm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = ckpt.load_generator_variables(path, template, model="seanet")
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm.apply(jax.tree.map(jnp.asarray, dict(variables)),
+                              jnp.asarray(x)))
+    assert got.shape == want.shape
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < 2e-2, err
