@@ -72,7 +72,8 @@ def evaluate(args, data_loader, epoch, eval_forward, spec_fns=None):
                 pr, hr, lr, lsd_i, visqol_i, filename, epoch,
                 args.experiment.hr_sr if args.experiment.get("upsample")
                 else args.experiment.lr_sr,
-                args.experiment.hr_sr)
+                args.experiment.hr_sr,
+                lr_spec=lr_spec, pr_spec=pr_spec, hr_spec=hr_spec)
 
         os.makedirs(args.samples_dir, exist_ok=True)
         lr_sr = args.experiment.hr_sr if args.experiment.get("upsample") \

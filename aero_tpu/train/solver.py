@@ -290,6 +290,14 @@ class Solver:
                     lsd, visqol, enhanced_filenames = evaluate(
                         self.args, self.tt_loader, epoch, self.eval_forward,
                         spec_fns=self._spec_fns())
+                if epoch == self.epochs - 1 and \
+                        bool(self.args.get("log_results")) and \
+                        enhanced_filenames:
+                    # final results table (reference solver.py:254)
+                    logger.info("logging results to wandb...")
+                    wandb_logger.create_wandb_table(
+                        self.args,
+                        PrHrSet(self.samples_dir, enhanced_filenames), epoch)
                 logger.info(bold(
                     f"Evaluation Time {time.time() - eval_start:.2f}s"))
                 metrics[METRICS_KEY_LSD] = lsd

@@ -17,9 +17,9 @@ def scale_minmax(x, lo=0.0, hi=1.0):
 
 
 def _inferno_lut():
-    from matplotlib import cm
+    from matplotlib import colormaps
 
-    return (np.asarray(cm.get_cmap("inferno")(np.linspace(0, 1, 256)))[:, :3]
+    return (np.asarray(colormaps["inferno"](np.linspace(0, 1, 256)))[:, :3]
             * 255).astype(np.uint8)
 
 
@@ -38,3 +38,20 @@ def save_heatmap_png(spectrogram: np.ndarray, path: str) -> None:
     from PIL import Image
 
     Image.fromarray(convert_spectrogram_to_heatmap(spectrogram)).save(path)
+
+
+def power_spectrogram_np(x: np.ndarray, n_fft: int = 400,
+                         hop: int | None = None) -> np.ndarray:
+    """|STFT|^2 [F, T] of a waveform — numpy equivalent of torchaudio's
+    default ``Spectrogram()`` (hann 400, hop 200, centered reflect,
+    power 2), used by the reference wandb logger
+    (src/wandb_logger.py:56-57). Logging path only — not jitted."""
+    x = np.asarray(x, np.float64).reshape(-1)
+    hop = hop or n_fft // 2
+    pad = n_fft // 2
+    x = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    spec = np.fft.rfft(x[idx] * win, axis=-1)
+    return (np.abs(spec) ** 2).T

@@ -47,12 +47,13 @@ def timeit(fn, *args, n=8):
 
 def timeit_chained(step, state, lr, hr, n=8):
     """Like timeit for the full (state->state) train step: chain the
-    state through ``n`` calls so XLA cannot elide any of them."""
-    s2, m = step(state, lr, hr)
+    state through ``n`` calls so XLA cannot elide any of them. ``step``
+    must donate its state argument (otherwise n live states OOM)."""
+    s = jax.tree.map(jnp.copy, state)
+    s, m = step(s, lr, hr)
     jax.block_until_ready(m)
     reps = []
     for _ in range(3):
-        s = state
         t0 = time.perf_counter()
         for _ in range(n):
             s, m = step(s, lr, hr)
@@ -78,7 +79,7 @@ def main():
                                      hr_shape)
     state = init_state(args, models, variables, state_rng)
     state = pmesh.replicate(state, mesh)
-    step = make_train_step(args, models, mesh, donate=False)
+    step = make_train_step(args, models, mesh, donate=True)
 
     exp = args.experiment
     seg = int(exp.segment * exp.lr_sr)
