@@ -188,3 +188,48 @@ def test_visqol_audio_mode_ceiling(tmp_path):
         stderr=subprocess.STDOUT)
     score = float(proc.stdout.decode().split("\t")[-1].strip())
     assert abs(score - 4.732) <= 0.1, score
+
+
+def test_visqol_divergence_matrix(tmp_path):
+    """Degradation x shift matrix (native/VISQOL_DIVERGENCE.md): level
+    monotonicity within each family and exact shift invariance (global +
+    patch alignment). The absolute values are documented there; this
+    locks the guarantees."""
+    from aero_tpu.data.prep import make_speech_like
+    from aero_tpu.ops.resample import resample_np
+
+    sr = 16000
+    sig = make_speech_like(sr, 3.0, seed=0)[None]
+    rng = np.random.default_rng(7)
+
+    def bandlimit(x, mid_sr):
+        y = resample_np(x, sr, mid_sr)
+        return resample_np(y, mid_sr, sr)[:, :x.shape[-1]]
+
+    def noisy(x, snr_db):
+        n = rng.standard_normal(x.shape).astype(np.float32)
+        n *= np.sqrt((x ** 2).mean() / (n ** 2).mean() / 10 ** (snr_db / 10))
+        return (x + n).astype(np.float32)
+
+    def quantize(x, bits):
+        q = 2.0 ** (bits - 1)
+        return (np.round(np.clip(x, -1, 1) * q) / q).astype(np.float32)
+
+    def shift(x, sec):
+        return x if sec == 0 else np.concatenate(
+            [np.zeros((1, int(sec * sr)), np.float32), x], axis=-1)
+
+    families = {
+        "lowpass": [bandlimit(sig, 8000), bandlimit(sig, 4000),
+                    bandlimit(sig, 2000)],
+        "noise": [noisy(sig, 20), noisy(sig, 10), noisy(sig, 0)],
+        "quant": [quantize(sig, 6), quantize(sig, 4)],
+    }
+    for name, ladder in families.items():
+        scores = [_run_visqol(sig, d, tmp_path) for d in ladder]
+        assert all(a > b for a, b in zip(scores, scores[1:])), (name, scores)
+        # shift invariance on the mildest level of each family
+        base = scores[0]
+        for sec in (0.05, 0.13):
+            s = _run_visqol(sig, shift(ladder[0], sec), tmp_path)
+            assert abs(s - base) <= 0.05, (name, sec, s, base)
