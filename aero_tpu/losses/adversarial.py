@@ -31,10 +31,12 @@ def melgan_discriminator_loss(disc_fake, disc_real, valid_lengths=None):
     loss = 0.0
     for i, scale in enumerate(disc_fake):
         n = valid_lengths[i][-1] if valid_lengths is not None else None
-        loss += _scale_mean(jax.nn.relu(1 + scale[-1]), n)
+        loss += _scale_mean(
+            jax.nn.relu(1 + scale[-1].astype(jnp.float32)), n)
     for i, scale in enumerate(disc_real):
         n = valid_lengths[i][-1] if valid_lengths is not None else None
-        loss += _scale_mean(jax.nn.relu(1 - scale[-1]), n)
+        loss += _scale_mean(
+            jax.nn.relu(1 - scale[-1].astype(jnp.float32)), n)
     return loss
 
 
@@ -51,13 +53,15 @@ def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int,
         for j in range(len(disc_fake[i]) - 1):
             n = valid_lengths[i][j] if valid_lengths is not None else None
             features_loss += weights * _scale_mean(
-                jnp.abs(disc_fake[i][j]
-                        - jax.lax.stop_gradient(disc_real[i][j])), n)
+                jnp.abs(disc_fake[i][j].astype(jnp.float32)
+                        - jax.lax.stop_gradient(
+                            disc_real[i][j]).astype(jnp.float32)), n)
 
     adversarial_loss = 0.0
     for i, scale in enumerate(disc_fake):
         n = valid_lengths[i][-1] if valid_lengths is not None else None
-        adversarial_loss += _scale_mean(jax.nn.relu(1 - scale[-1]), n)
+        adversarial_loss += _scale_mean(
+            jax.nn.relu(1 - scale[-1].astype(jnp.float32)), n)
     return adversarial_loss, features_loss
 
 
@@ -69,7 +73,8 @@ def hifi_feature_loss(fmap_r, fmap_g):
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
             total += 1
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(jnp.abs(rl.astype(jnp.float32)
+                                     - gl.astype(jnp.float32)))
     return loss / total
 
 
@@ -77,6 +82,7 @@ def hifi_discriminator_loss(disc_real_outputs, disc_generated_outputs):
     """LS-GAN discriminator loss (discriminators.py:222-233)."""
     loss = 0.0
     for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        dr, dg = dr.astype(jnp.float32), dg.astype(jnp.float32)
         loss += jnp.mean((1 - dr) ** 2) + jnp.mean(dg ** 2)
     return loss
 
@@ -85,5 +91,6 @@ def hifi_generator_loss(disc_outputs):
     """LS-GAN generator loss (discriminators.py:236-243)."""
     loss = 0.0
     for dg in disc_outputs:
+        dg = dg.astype(jnp.float32)
         loss += jnp.mean((1 - dg) ** 2)
     return loss

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from aero_tpu.models import init as tinit
-from aero_tpu.models.modules import leaky_relu
+from aero_tpu.models.modules import compute_dtype, leaky_relu
 
 LRELU_SLOPE = 0.1
 
@@ -62,16 +62,18 @@ class WNConv1d(nn.Module):
         )
         bias = self.param("bias", tinit.conv_bias_init_for(kshape),
                           (self.features,))
-        w = _weight_norm(v, g.reshape(1, 1, -1))
+        cd = compute_dtype()
+        # weight-norm math in f32 (params are f32), conv in compute dtype
+        w = _weight_norm(v, g.reshape(1, 1, -1)).astype(cd)
         y = jax.lax.conv_general_dilated(
-            x, w,
+            x.astype(cd), w,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return y + bias
+        return y + bias.astype(cd)
 
 
 class WNConvTranspose1d(nn.Module):
@@ -101,10 +103,11 @@ class WNConvTranspose1d(nn.Module):
         bias = self.param("bias", tinit.conv_transpose_bias_init_for(kshape),
                           (self.features,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True))
-        w = v * (g.reshape(1, -1, 1) / jnp.maximum(norm, 1e-12))
+        cd = compute_dtype()
+        w = (v * (g.reshape(1, -1, 1) / jnp.maximum(norm, 1e-12))).astype(cd)
         k = self.kernel_size
         y = jax.lax.conv_general_dilated(
-            x, jnp.flip(w, 0),
+            x.astype(cd), jnp.flip(w, 0),
             window_strides=(1,),
             padding=[(k - 1 - self.padding, k - 1 - self.padding)],
             lhs_dilation=(self.stride,),
@@ -112,7 +115,7 @@ class WNConvTranspose1d(nn.Module):
         )
         if self.output_padding:
             y = jnp.pad(y, ((0, 0), (0, self.output_padding), (0, 0)))
-        return y + bias
+        return y + bias.astype(cd)
 
 
 class WNConv2d(nn.Module):
@@ -135,14 +138,15 @@ class WNConv2d(nn.Module):
         )
         bias = self.param("bias", tinit.conv_bias_init_for(kshape),
                           (self.features,))
-        w = _weight_norm(v, g.reshape(1, 1, 1, -1))
+        cd = compute_dtype()
+        w = _weight_norm(v, g.reshape(1, 1, 1, -1)).astype(cd)
         y = jax.lax.conv_general_dilated(
-            x, w,
+            x.astype(cd), w,
             window_strides=self.stride,
             padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias
+        return y + bias.astype(cd)
 
 
 class SNConv1d(nn.Module):
@@ -180,15 +184,17 @@ class SNConv1d(nn.Module):
             u.value = jax.lax.stop_gradient(u_new)
         sigma = jnp.einsum("o,oi,i->", jax.lax.stop_gradient(u_new), w_mat,
                            jax.lax.stop_gradient(v))
-        w_sn = w / sigma
+        cd = compute_dtype()
+        # power iteration stays f32; the conv runs in the compute dtype
+        w_sn = (w / sigma).astype(cd)
         y = jax.lax.conv_general_dilated(
-            x, w_sn,
+            x.astype(cd), w_sn,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return y + bias
+        return y + bias.astype(cd)
 
 
 def avg_pool1d(x, kernel: int, stride: int, padding: int,
