@@ -143,10 +143,23 @@ class LrHrSet:
         with open(os.path.join(json_dir, "hr.json")) as f:
             hr = json.load(f)
 
+        # The reference computes lr/hr window sizes independently from
+        # float seconds (datasets.py:124-127); at non-round sample rates
+        # (11.025 kHz music, README.md:50-54) ``int(seg*lr_sr)*scale !=
+        # int(seg*hr_sr)`` and its train loss would crash on mismatched
+        # pr/hr lengths. We derive the HR window from the LR window via
+        # the integer rate ratio so pairs stay time-aligned and the
+        # generator output always matches hr exactly (identical values
+        # for every round-rate config).
         lr_stride = int(stride * lr_sr) if stride else None
-        hr_stride = int(stride * hr_sr) if stride else None
         lr_length = int(segment * lr_sr) if segment else None
-        hr_length = int(segment * hr_sr) if segment else None
+        if hr_sr % lr_sr == 0:
+            scale = hr_sr // lr_sr
+            hr_stride = lr_stride * scale if stride else None
+            hr_length = lr_length * scale if segment else None
+        else:
+            hr_stride = int(stride * hr_sr) if stride else None
+            hr_length = int(segment * hr_sr) if segment else None
 
         match_files(lr, hr)
         self.lr_set = Audioset(lr, sample_rate=lr_sr, length=lr_length,

@@ -17,11 +17,15 @@ def segment_shapes(args) -> tp.Tuple[tp.Tuple[int, ...], tp.Tuple[int, ...]]:
     exp = args.experiment
     batch = int(exp.batch_size)
     seg = float(exp.segment)
-    if exp.get("upsample", False):
-        lr_t = int(seg * exp.hr_sr)
+    # hr length derived from the lr window via the integer rate ratio —
+    # matches LrHrSet's non-round-rate segment math (data/datasets.py).
+    lr_t = int(seg * exp.lr_sr)
+    if exp.hr_sr % exp.lr_sr == 0:
+        hr_t = lr_t * (exp.hr_sr // exp.lr_sr)
     else:
-        lr_t = int(seg * exp.lr_sr)
-    hr_t = int(seg * exp.hr_sr)
+        hr_t = int(seg * exp.hr_sr)
+    if exp.get("upsample", False):
+        lr_t = hr_t
     return (batch, 1, lr_t), (batch, 1, hr_t)
 
 

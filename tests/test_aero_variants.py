@@ -47,3 +47,43 @@ def test_11_to_44_music_scale4():
         jax.random.PRNGKey(0), x)
     y = m.apply(v, x, train=False)
     assert y.shape == (1, 1, 44100)
+
+
+def test_music_scale4_torch_parity():
+    """11.025 -> 44.1 kHz spectral-upsample math against the torch
+    oracle with imported weights: scale=4 at non-round sample rates
+    (true_hop 16, win 128 — aero.py:227-237 / reference aero.py:325-332)
+    and an odd segment length (0.5 s -> 5512 samples) that exercises the
+    analysis/synthesis padding off the round-rate path."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from src.models.aero import Aero as TorchAero
+
+    from aero_tpu.train.torch_import import import_aero_state
+
+    kw = dict(BASE, strides=[4, 4], lr_sr=11025, hr_sr=44100)
+    torch.manual_seed(0)
+    tm = TorchAero(**kw)
+    tm.eval()
+    jkw = dict(kw)
+    jkw["strides"] = (4, 4)
+    jm = Aero(**jkw)
+    assert jm.true_hop_length == 16 and jm.win_length == 128
+
+    x = (0.1 * np.random.default_rng(3).standard_normal((1, 1, 5512))
+         ).astype(np.float32)
+    variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = import_aero_state(
+        sd, jax.tree.map(np.asarray, dict(variables)))
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm.apply(variables, jnp.asarray(x), train=False))
+
+    assert got.shape == ref.shape == (1, 1, 22048)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert err < 2e-2, f"relative max err {err}"
