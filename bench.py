@@ -20,7 +20,9 @@ Prints ONE JSON line:
 
 Env overrides: AERO_BENCH_BATCH (default 16 — the recorded numbers are
 batch-16 amortized throughput), AERO_BENCH_ITERS (default 5), plus any
-config override args (e.g. ``precision=float32``).
+config override args (e.g. ``precision=float32``). AERO_BENCH_TRAIN=1
+benches the full fused GAN training step instead (one JSON line,
+metric ``train_throughput`` in audio-seconds trained per second).
 """
 
 from __future__ import annotations
@@ -44,6 +46,10 @@ from aero_tpu.utils.config import load_config
 
 CHUNK_SEC = 10.0  # predict.py SEGMENT_DURATION_SEC
 BASELINE_RTF = 10.0  # throughput gate from BASELINE.json
+# No reference train-throughput number exists (BASELINE.md records no
+# GPU step time), so the train-mode gate is 1x realtime: training
+# consumes audio at least as fast as it plays.
+TRAIN_BASELINE = 1.0
 
 
 def _watchdog(seconds: int = 900):
@@ -63,6 +69,61 @@ def _watchdog(seconds: int = 900):
     signal.alarm(seconds)
 
 
+def bench_train(args):
+    """Training throughput: full fused GAN step (gen fwd+bwd, 3 disc
+    passes, both adam updates — train_step.py) at the canonical batch,
+    reported as audio-seconds trained per wall-second. Methodology:
+    chain the donated state through N steps so XLA cannot elide any,
+    force one scalar fetch at the end (same tunnel-amortizing rationale
+    as the inference path). Enable with AERO_BENCH_TRAIN=1."""
+    from aero_tpu.parallel import mesh as pmesh
+    from aero_tpu.train.train_step import init_state, make_train_step
+
+    batch = int(os.environ.get("AERO_BENCH_BATCH", 16))
+    iters = int(os.environ.get("AERO_BENCH_ITERS", 8))
+    models = build.build_models(args)
+    mesh = pmesh.make_mesh()
+    lr_shape, hr_shape = build.segment_shapes(args)
+    rng = jax.random.PRNGKey(0)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = build.init_variables(args, models, init_rng, lr_shape,
+                                     hr_shape)
+    state = init_state(args, models, variables, state_rng)
+    state = pmesh.replicate(state, mesh)
+    step = make_train_step(args, models, mesh, donate=True)
+
+    exp = args.experiment
+    seg = int(exp.segment * exp.lr_sr)
+    scale = int(exp.hr_sr) // int(exp.lr_sr)
+    gen = np.random.default_rng(0)
+    lr = jnp.asarray(0.1 * gen.standard_normal((batch, 1, seg)), jnp.float32)
+    hr = jnp.asarray(0.1 * gen.standard_normal((batch, 1, seg * scale)),
+                     jnp.float32)
+
+    state, metrics = step(state, lr, hr)
+    jax.block_until_ready(metrics)
+    reps = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, lr, hr)
+        acc = float(jnp.sum(metrics["total"]))
+        reps.append((time.perf_counter() - t0) / iters)
+    assert np.isfinite(acc)
+    dt = statistics.median(reps)
+
+    aud = batch * float(exp.segment)
+    print(json.dumps({
+        "metric": "train_throughput",
+        "value": round(aud / dt, 2),
+        "unit": "audio_sec_trained_per_sec",
+        "vs_baseline": round((aud / dt) / TRAIN_BASELINE, 3),
+        "mode": "chained",
+        "step_ms": round(dt * 1e3, 1),
+        "batch": batch,
+    }))
+
+
 def main():
     _watchdog()
     overrides = [a for a in sys.argv[1:] if "=" in a]
@@ -72,6 +133,9 @@ def main():
     args = load_config("conf", "main_config",
                        ["experiment=aero_4-16_512_64", "dset=4-16",
                         "precision=bfloat16"] + overrides)
+    if os.environ.get("AERO_BENCH_TRAIN", "0") == "1":
+        bench_train(args)
+        return
     batch = int(os.environ.get("AERO_BENCH_BATCH", 16))
     iters = int(os.environ.get("AERO_BENCH_ITERS", 5))
 
