@@ -168,3 +168,141 @@ def test_two_process_training_matches_single(workdir):
     assert np.quantile(diff, 0.99) < 2 * 3e-4, np.quantile(diff, 0.99)
     # no element may drift beyond the eps-flip bound (~2*lr per step)
     assert diff.max() < 2.5 * 3e-4 * max(3 * n_steps, 1), diff.max()
+
+
+@pytest.mark.slow
+def test_two_process_resume(workdir):
+    """Checkpoint/resume across a 2-process relaunch: epoch 1 trains and
+    checkpoints (rank 0 only), the relaunch with epochs=2 restores state
+    on BOTH ranks and continues at len(history) (solver resume path +
+    reference solver.py:116-140 semantics)."""
+    wd = str(workdir)
+    train = os.path.join(REPO, "train.py")
+    run_dir = os.path.join(wd, "resume")
+    os.makedirs(run_dir, exist_ok=True)
+
+    def launch(extra):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, train] + _overrides(workdir) + extra,
+                cwd=run_dir, env=_env(1, rank=r, port=port, nprocs=2),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for r in range(2)
+        ]
+        outs = [p.communicate(timeout=1500) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, f"rank failed\n{so[-3000:]}\n{se[-3000:]}"
+
+    launch([])  # epoch 1
+    run_rel = os.path.join(run_dir, "outputs", "debug",
+                           "tiny-nfft=512-hl=64")
+    with open(os.path.join(run_rel, "history.json")) as f:
+        assert len(json.load(f)) == 1
+
+    launch(["epochs=2"])  # resumes, trains exactly one more epoch
+    with open(os.path.join(run_rel, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 2
+    assert all(np.isfinite(h["total_loss"]) for h in hist)
+    logs = "".join(
+        open(os.path.join(run_rel, f)).read()
+        for f in os.listdir(run_rel) if f.startswith("trainer.log"))
+    assert "Replaying metrics from previous run" in logs or \
+        "Loading checkpoint model" in logs, logs[-2000:]
+
+
+@pytest.mark.slow
+def test_kill_one_rank_fails_fast(workdir):
+    """The reference's ChildrenManager kills the whole job when one DDP
+    worker dies (src/ddp/executor.py:25-47). Our equivalent contract:
+    the JAX coordination service declares a silently-dead process after
+    AERO_HEARTBEAT_TIMEOUT_S missed heartbeats (train.py) and the
+    surviving rank aborts (collective error or heartbeat abort) instead
+    of hanging. Kill rank 1 mid-training; rank 0 must exit nonzero."""
+    import time
+
+    wd = str(workdir)
+    train = os.path.join(REPO, "train.py")
+    run_dir = os.path.join(wd, "killone")
+    os.makedirs(run_dir, exist_ok=True)
+    port = _free_port()
+
+    def env(rank):
+        e = _env(1, rank=rank, port=port, nprocs=2)
+        e["AERO_HEARTBEAT_TIMEOUT_S"] = "10"
+        return e
+
+    # many epochs so the job cannot finish before the kill
+    procs = [
+        subprocess.Popen(
+            [sys.executable, train] + _overrides(workdir) + ["epochs=50"],
+            cwd=run_dir, env=env(r),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for r in range(2)
+    ]
+    try:
+        # wait until training is actually under way (first epoch logged)
+        run_rel = os.path.join(run_dir, "outputs", "debug",
+                               "tiny-nfft=512-hl=64")
+        deadline = time.time() + 600
+        started = False
+        while time.time() < deadline:
+            logs = [os.path.join(run_rel, f) for f in
+                    (os.listdir(run_rel) if os.path.isdir(run_rel) else [])
+                    if f.startswith("trainer.log")]
+            if any("Epoch" in open(p).read() for p in logs):
+                started = True
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(2)
+        assert started, "training never started"
+        assert all(p.poll() is None for p in procs), "a rank died early"
+
+        procs[1].kill()  # direct child handle -- never pattern-kill
+        # rank 0 must notice (gloo collective failure or missed-heartbeat
+        # abort) and terminate, not hang
+        try:
+            so, se = procs[0].communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            procs[0].kill()
+            raise AssertionError(
+                "surviving rank hung >240s after peer death")
+        assert procs[0].returncode != 0, (
+            f"rank 0 exited 0 after peer was killed\n{so[-2000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
+@pytest.mark.slow
+def test_ddp_autospawn_launcher(workdir):
+    """``ddp=true +ddp_workers=2`` auto-spawns the worker pool from one
+    command (reference train.py:124-125 / src/ddp/executor.py:50-75):
+    parent babysits, workers rendezvous over a free port, rank-0
+    artifacts written once, rank-1 logs to trainer.log.1."""
+    wd = str(workdir)
+    train = os.path.join(REPO, "train.py")
+    run_dir = os.path.join(wd, "autospawn")
+    os.makedirs(run_dir, exist_ok=True)
+
+    proc = subprocess.run(
+        [sys.executable, train] + _overrides(workdir)
+        + ["ddp=true", "+ddp_workers=2"],
+        cwd=run_dir, env=_env(1), capture_output=True, text=True,
+        timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    run_rel = os.path.join(run_dir, "outputs", "debug",
+                           "tiny-nfft=512-hl=64")
+    assert os.path.exists(os.path.join(run_rel, "checkpoint.atpu"))
+    with open(os.path.join(run_rel, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 1 and np.isfinite(hist[0]["total_loss"])
+    # per-rank logs: rank 0 -> trainer.log, rank 1 -> trainer.log.1
+    assert os.path.exists(os.path.join(run_rel, "trainer.log"))
+    assert os.path.exists(os.path.join(run_rel, "trainer.log.1"))
+    assert "process 0/2" in open(
+        os.path.join(run_rel, "trainer.log")).read()

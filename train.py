@@ -35,6 +35,69 @@ logger = logging.getLogger(__name__)
 CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 
 
+def start_ddp_workers(args, argv) -> int:
+    """Single-host multi-process auto-spawn — the reference's
+    ``start_ddp_workers``/``ChildrenManager`` (src/ddp/executor.py:13-75):
+    fork one worker per requested rank, wire the rendezvous env, babysit
+    the children, and kill the whole job the moment one dies.
+
+    On TPU one process drives every local chip, so this path only makes
+    sense for CPU/GPU process pools: request it with ``ddp=true
+    +ddp_workers=N`` (or env AERO_DDP_WORKERS). Rank 0 streams to the
+    console; rank>0 workers log to ``trainer.log.<rank>`` in the run dir
+    with stdout suppressed, like the reference.
+    """
+    import socket
+    import subprocess
+
+    world_size = int(args.get("ddp_workers") or
+                     os.environ.get("AERO_DDP_WORKERS") or 0)
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    logger.info(f"Starting {world_size} worker processes for DDP.")
+    children = []
+    failed = False
+    try:
+        for rank in range(world_size):
+            env = dict(os.environ)
+            env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+            env["JAX_NUM_PROCESSES"] = str(world_size)
+            env["JAX_PROCESS_ID"] = str(rank)
+            # each CPU worker owns one device (the TPU runtime hands
+            # every process its own local chips without this)
+            env.setdefault("AERO_NUM_CPU_DEVICES", "1")
+            kwargs = {}
+            if rank > 0:
+                kwargs["stdin"] = subprocess.DEVNULL
+                kwargs["stdout"] = subprocess.DEVNULL
+                kwargs["stderr"] = subprocess.DEVNULL
+            children.append(subprocess.Popen(
+                [sys.executable] + argv, env=env, **kwargs))
+        while children and not failed:
+            for child in list(children):
+                try:
+                    exitcode = child.wait(0.1)
+                except subprocess.TimeoutExpired:
+                    continue
+                children.remove(child)
+                if exitcode:
+                    logger.error(f"Worker died (rc={exitcode}), "
+                                 "killing all workers")
+                    failed = True
+    except KeyboardInterrupt:
+        logger.error("Received keyboard interrupt, killing all workers.")
+        failed = True
+    finally:
+        for child in children:
+            child.terminate()
+    if not failed:
+        logger.info("All workers completed successfully")
+    return int(failed)
+
+
 def maybe_init_distributed(args):
     """Multi-host initialization — the TPU-native replacement for the
     reference's subprocess DDP launcher (src/ddp/executor.py:50-75).
@@ -63,6 +126,14 @@ def maybe_init_distributed(args):
             kw = dict(coordinator_address=coord,
                       num_processes=int(rendezvous["JAX_NUM_PROCESSES"]),
                       process_id=int(rendezvous["JAX_PROCESS_ID"]))
+        # Fail-fast contract (reference ChildrenManager,
+        # src/ddp/executor.py:25-47: one dead worker kills the job): the
+        # coordination service declares a silent process dead after this
+        # many seconds of missed heartbeats and aborts the survivors.
+        # Lower it for tests / tight supervision loops.
+        hb = os.environ.get("AERO_HEARTBEAT_TIMEOUT_S")
+        if hb:
+            kw["heartbeat_timeout_seconds"] = int(hb)
         try:
             jax.distributed.initialize(**kw)
             logger.info(
@@ -152,10 +223,24 @@ def main():
     for key, value in list(args.dset.items()):
         if isinstance(value, str) and key != "name":
             args.dset[key] = os.path.abspath(value)
+
+    # ``ddp=true +ddp_workers=N`` auto-spawns a single-host process pool
+    # (reference train.py:124-125 start_ddp_workers); workers re-enter
+    # main() with the rendezvous env set and skip this branch.
+    n_workers = int(args.get("ddp_workers") or
+                    os.environ.get("AERO_DDP_WORKERS") or 0)
+    if (bool(args.get("ddp")) and n_workers > 1
+            and "JAX_PROCESS_ID" not in os.environ):
+        setup_logging(bool(args.verbose))
+        sys.exit(start_ddp_workers(args, sys.argv))
+
     run_dir = run_dir_for(args)
     os.makedirs(run_dir, exist_ok=True)
     os.chdir(run_dir)  # hydra-chdir semantics: checkpoints land here
-    setup_logging(bool(args.verbose), log_file="trainer.log")
+    rank_suffix = os.environ.get("JAX_PROCESS_ID")
+    log_file = "trainer.log" if rank_suffix in (None, "0") else \
+        f"trainer.log.{rank_suffix}"
+    setup_logging(bool(args.verbose), log_file=log_file)
     logger.info(f"For logs, checkpoints and samples check {os.getcwd()}")
     try:
         run(args)
