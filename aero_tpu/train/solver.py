@@ -405,7 +405,19 @@ class Solver:
         n = i + 1 if i >= 0 else 1
         avg = {"total": total_loss / n, "evaluation": total_loss / n}
         avg.update({k: v / n for k, v in total_losses.items()})
-        return avg
+        return self._reduce_valid(avg, i + 1)
+
+    @staticmethod
+    def _reduce_valid(avg, n):
+        """Cross-rank weighted average of per-rank valid losses so every
+        process agrees on evaluation_loss and best-state epochs. The
+        reference leaves valid losses rank-local (its distrib.average is
+        only applied to eval metrics, src/evaluate.py:173-177) — a
+        divergence wart we fix rather than replicate (SURVEY §2.5).
+        Single-process: identity."""
+        keys = sorted(avg)
+        vals, _ = pmesh.global_weighted_average([avg[k] for k in keys], n)
+        return dict(zip(keys, vals))
 
     def _valid_on_test_data(self, epoch, enhance):
         """Valid losses on the test loader, optionally saving enhanced
@@ -452,7 +464,8 @@ class Solver:
         n = i + 1 if i >= 0 else 1
         avg = {"total": total_loss / n, "evaluation": total_loss / n}
         avg.update({k: v / n for k, v in total_losses.items()})
-        return avg, (total_filenames if enhance else None)
+        return self._reduce_valid(avg, i + 1), \
+            (total_filenames if enhance else None)
 
     def _serialize(self):
         host = jax.device_get(self.state)

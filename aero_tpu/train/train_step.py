@@ -46,9 +46,20 @@ class TrainState:
 
 
 def make_optimizer(args):
-    """torch.optim.Adam(lr, betas=(0.9, beta2)) parity (train.py:83)."""
-    return optax.adam(learning_rate=float(args.lr), b1=0.9,
-                      b2=float(args.beta2), eps=1e-8)
+    """torch.optim.Adam(lr, betas=(0.9, beta2)) parity (train.py:83).
+
+    AERO_FLAT_OPT=1 wraps the update in ``optax.flatten``: the moment
+    buffers and the update math run on ONE raveled vector instead of
+    hundreds of small leaves (identical math, different fusion shape —
+    measured A/B on TPU before flipping any default; flat opt state is
+    checkpoint-incompatible with the per-leaf layout)."""
+    import os
+
+    opt = optax.adam(learning_rate=float(args.lr), b1=0.9,
+                     b2=float(args.beta2), eps=1e-8)
+    if os.environ.get("AERO_FLAT_OPT", "0") == "1":
+        opt = optax.flatten(opt)
+    return opt
 
 
 def init_state(args, models, variables, rng) -> TrainState:

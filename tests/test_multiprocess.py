@@ -143,6 +143,14 @@ def test_two_process_training_matches_single(workdir):
     np.testing.assert_allclose(mp_hist[0]["Average lsd"],
                                sp_hist[0]["Average lsd"], rtol=5e-2)
 
+    # valid losses were cross-rank weighted-averaged (Solver._reduce_valid):
+    # the 2-process history must report the GLOBAL valid average — i.e.
+    # match the single-process oracle that saw every file — not rank 0's
+    # local shard. Tolerance covers only the tiny param drift above.
+    assert "valid_total_loss" in mp_hist[0]
+    np.testing.assert_allclose(mp_hist[0]["valid_total_loss"],
+                               sp_hist[0]["valid_total_loss"], rtol=2e-3)
+
     # checkpoint parity: params from both runs agree (replicated update)
     from aero_tpu.train import checkpoint as ckpt
     import jax
