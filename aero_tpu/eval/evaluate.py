@@ -46,38 +46,24 @@ def evaluate(args, data_loader, epoch, eval_forward, spec_fns=None):
     total_lsd = total_visqol = 0.0
     lsd_count = visqol_count = total_cnt = 0
     total_filenames = []
-    files_to_log = []
     n_log = int(args.wandb.get("n_files_to_log", 10)) if "wandb" in args else -1
+    lr_sr = args.experiment.hr_sr if args.experiment.get("upsample") \
+        else args.experiment.lr_sr
+    os.makedirs(args.samples_dir, exist_ok=True)
 
-    iterator = LogProgress(logger, data_loader, name="Eval estimates")
-    for data in iterator:
-        (lr, lr_paths), (hr, hr_paths) = data
-        filename = os.path.splitext(os.path.basename(hr_paths[0]))[0]
-        total_filenames.append(filename)
-
-        if eval_forward.return_spec:
-            pr, pr_spec, lr_spec = eval_forward(lr)
-            hr_spec = spec_fns["hr_spec"](hr) if spec_fns else None
-        else:
-            pr = eval_forward(lr)
-            pr_spec = spec_fns["spec"](pr) if spec_fns else None
-            lr_spec = spec_fns["spec"](lr) if spec_fns else None
-            hr_spec = spec_fns["spec"](hr) if spec_fns else None
-        pr = match_signal(pr, hr.shape[-1])
-
+    def host_work(pr, hr, lr, pr_spec, lr_spec, hr_spec, filename,
+                  log_media):
+        """Everything downstream of the device fetch: metrics (numpy LSD
+        + ViSQOL subprocess; temp wavs are per-filename so concurrent
+        scoring can't collide), wandb media, wav/PNG artifacts. Runs on
+        a worker thread so it overlaps the NEXT file's forward — the
+        eval loop was serial device-then-host before and paid both."""
         lsd_i, visqol_i = run_metrics(hr, pr, args, filename)
-        if n_log == -1 or len(files_to_log) < n_log:
-            files_to_log.append(filename)
+        if log_media:
             wandb_logger.log_data_to_wandb(
                 pr, hr, lr, lsd_i, visqol_i, filename, epoch,
-                args.experiment.hr_sr if args.experiment.get("upsample")
-                else args.experiment.lr_sr,
-                args.experiment.hr_sr,
+                lr_sr, args.experiment.hr_sr,
                 lr_spec=lr_spec, pr_spec=pr_spec, hr_spec=hr_spec)
-
-        os.makedirs(args.samples_dir, exist_ok=True)
-        lr_sr = args.experiment.hr_sr if args.experiment.get("upsample") \
-            else args.experiment.lr_sr
         save_wavs(pr, lr, hr, [os.path.join(args.samples_dir, filename)],
                   lr_sr, args.experiment.hr_sr)
         if pr_spec is not None:
@@ -85,12 +71,43 @@ def evaluate(args, data_loader, epoch, eval_forward, spec_fns=None):
                        pr_spec[0],
                        hr_spec[0] if hr_spec is not None else None,
                        os.path.join(args.samples_dir, filename))
+        return lsd_i, visqol_i
 
-        total_lsd += lsd_i
-        total_visqol += visqol_i
-        lsd_count += 1 if lsd_i != 0 else 0
-        visqol_count += 1 if visqol_i != 0 else 0
-        total_cnt += 1
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures = []
+    iterator = LogProgress(logger, data_loader, name="Eval estimates")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for data in iterator:
+            (lr, lr_paths), (hr, hr_paths) = data
+            filename = os.path.splitext(os.path.basename(hr_paths[0]))[0]
+            total_filenames.append(filename)
+
+            if eval_forward.return_spec:
+                pr, pr_spec, lr_spec = eval_forward(lr)
+                hr_spec = spec_fns["hr_spec"](hr) if spec_fns else None
+            else:
+                pr = eval_forward(lr)
+                pr_spec = spec_fns["spec"](pr) if spec_fns else None
+                lr_spec = spec_fns["spec"](lr) if spec_fns else None
+                hr_spec = spec_fns["spec"](hr) if spec_fns else None
+            pr = match_signal(pr, hr.shape[-1])
+
+            log_media = n_log == -1 or len(futures) < n_log
+            if len(futures) >= 4:
+                # bound in-flight files so per-file buffers are released
+                futures[-4].result()
+            futures.append(pool.submit(
+                host_work, pr, hr, lr, pr_spec, lr_spec, hr_spec,
+                filename, log_media))
+
+        for fut in futures:
+            lsd_i, visqol_i = fut.result()
+            total_lsd += lsd_i
+            total_visqol += visqol_i
+            lsd_count += 1 if lsd_i != 0 else 0
+            visqol_count += 1 if visqol_i != 0 else 0
+            total_cnt += 1
 
     avg_lsd, avg_visqol = _averages(total_lsd, lsd_count,
                                     total_visqol, visqol_count)
@@ -107,18 +124,32 @@ def evaluate_on_saved_data(args, data_loader, epoch):
     total_lsd = total_visqol = 0.0
     lsd_count = visqol_count = total_cnt = 0
 
-    iterator = LogProgress(logger, data_loader, name="Eval estimates")
-    for data in iterator:
+    def one(data):
         lr_i, hr_i, pr_i, filename = data
         if isinstance(filename, (list, tuple)):
             filename = filename[0]
             lr_i, hr_i, pr_i = lr_i[0], hr_i[0], pr_i[0]
-        lsd_i, visqol_i = run_metrics(hr_i[None], pr_i[None], args, filename)
-        total_lsd += lsd_i
-        total_visqol += visqol_i
-        lsd_count += 1 if lsd_i != 0 else 0
-        visqol_count += 1 if visqol_i != 0 else 0
-        total_cnt += 1
+        return run_metrics(hr_i[None], pr_i[None], args, filename)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # pure host work (numpy LSD + ViSQOL subprocess, per-filename temp
+    # wavs): a small pool overlaps scoring across files. Submission is
+    # windowed so only a few files' wavs are resident at a time.
+    iterator = LogProgress(logger, data_loader, name="Eval estimates")
+    futures = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for data in iterator:
+            if len(futures) >= 8:
+                futures[-8].result()
+            futures.append(pool.submit(one, data))
+        for fut in futures:
+            lsd_i, visqol_i = fut.result()
+            total_lsd += lsd_i
+            total_visqol += visqol_i
+            lsd_count += 1 if lsd_i != 0 else 0
+            visqol_count += 1 if visqol_i != 0 else 0
+            total_cnt += 1
 
     avg_lsd, avg_visqol = _averages(total_lsd, lsd_count,
                                     total_visqol, visqol_count)

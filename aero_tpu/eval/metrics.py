@@ -19,7 +19,6 @@ import numpy as np
 
 from aero_tpu.data import audio_io
 from aero_tpu.ops.resample import resample_np
-from aero_tpu.ops.spec import stft
 
 logger = logging.getLogger(__name__)
 
@@ -27,14 +26,24 @@ VISQOL_MIN_DURATION = 0.48
 
 
 def stft_mag_np(x: np.ndarray, nfft: int = 2048, hop: int = 512) -> np.ndarray:
-    """|STFT| with Hann(nfft), center, not normalized — matches the
-    reference STFTMag buffer setup (metrics.py:37-56)."""
-    import jax.numpy as jnp
+    """|STFT| with Hann(nfft), center-reflect, not normalized — matches
+    the reference STFTMag buffer setup (metrics.py:37-56).
 
-    z = stft(jnp.asarray(x, dtype=jnp.float32), nfft, hop, nfft,
-             normalized=False, center=True, pad_mode="reflect")
-    # magnitude on-device: complex buffers can't cross some remote runtimes
-    return np.asarray(jnp.abs(z))
+    Pure numpy on purpose: both signals are already host-side here, and
+    the previous eager-jax formulation dispatched every DFT op through
+    the device transport (measured multiple seconds per eval file on a
+    tunneled chip) or, jitted, recompiled per distinct file length. The
+    rfft of an eval file is microseconds of host work."""
+    x = np.atleast_2d(np.asarray(x, np.float32))
+    pad = nfft // 2
+    xp = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - nfft) // hop
+    idx = (np.arange(nfft)[None, :]
+           + hop * np.arange(n_frames)[:, None])      # [frames, nfft]
+    win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)) \
+        .astype(np.float32)                           # periodic hann
+    z = np.fft.rfft(xp[:, idx] * win, axis=-1)        # [B, frames, F]
+    return np.abs(z).swapaxes(-1, -2)                 # [B, F, frames]
 
 
 def get_lsd(ref_sig: np.ndarray, out_sig: np.ndarray) -> float:
