@@ -16,6 +16,7 @@ time into [B, T/p, p, C].
 
 from __future__ import annotations
 
+import os
 import typing as tp
 
 import flax.linen as nn
@@ -26,6 +27,54 @@ from aero_tpu.models import init as tinit
 from aero_tpu.models.modules import compute_dtype, leaky_relu
 
 LRELU_SLOPE = 0.1
+
+# Grouped-conv lowering on TPU. XLA's feature_group_count pads each
+# group's tiny contraction (Cg=4..16 here) to a full MXU tile, so the
+# grouped form wastes most of the systolic array. Expanding the weights
+# to a dense block-diagonal kernel runs ONE well-tiled GEMM instead;
+# measured (tools/profile_disc_conv.py, B=16 bf16): fwd 0.94->0.17 ms
+# (g=4), 1.15->0.05 (g=16), 0.72->0.30 (g=64). The expansion inflates
+# FLOPs and weight traffic by g, so huge kernels (k*C_in*C_out above
+# AERO_DISC_DENSE_MAX elements) keep the grouped form in "auto".
+#   AERO_DISC_CONV = auto (default) | grouped | dense
+_DISC_CONV_MODE = os.environ.get("AERO_DISC_CONV", "auto")
+_DISC_DENSE_MAX = int(os.environ.get("AERO_DISC_DENSE_MAX",
+                                     str(12 * 1024 * 1024)))
+
+
+def _dense_blockdiag(w, groups: int):
+    """Expand grouped-conv weights [k, Cg, Cout] to dense block-diagonal
+    [k, Cg*groups, Cout]. lax semantics: input channels split into
+    `groups` contiguous blocks; output dim is group-major — input group
+    i feeds output block i. Autodiff through the expansion restricts the
+    dense gradient back to the blocks, so training math is unchanged."""
+    k, cg, cout = w.shape
+    og = cout // groups
+    wg = w.reshape(k, cg, groups, og)
+    eye = jnp.eye(groups, dtype=w.dtype)
+    # dense[k, (h, c), (g, o)] = w[k, c, g, o] * [h == g]
+    dense = jnp.einsum("kcgo,hg->khcgo", wg, eye)
+    return dense.reshape(k, groups * cg, cout)
+
+
+def grouped_conv1d(x, w, *, stride: int, padding: int, groups: int,
+                   dilation: int = 1):
+    """Grouped conv1d on [B, T, C] with TPU lowering dispatch."""
+    use_dense = groups > 1 and (
+        _DISC_CONV_MODE == "dense"
+        or (_DISC_CONV_MODE == "auto"
+            and w.shape[0] * x.shape[-1] * w.shape[-1] <= _DISC_DENSE_MAX))
+    if use_dense:
+        w = _dense_blockdiag(w, groups)
+        groups = 1
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        feature_group_count=groups,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
 
 
 def _weight_norm(v, g):
@@ -65,14 +114,9 @@ class WNConv1d(nn.Module):
         cd = compute_dtype()
         # weight-norm math in f32 (params are f32), conv in compute dtype
         w = _weight_norm(v, g.reshape(1, 1, -1)).astype(cd)
-        y = jax.lax.conv_general_dilated(
-            x.astype(cd), w,
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        y = grouped_conv1d(x.astype(cd), w, stride=self.stride,
+                           padding=self.padding, groups=self.groups,
+                           dilation=self.dilation)
         return y + bias.astype(cd)
 
 
@@ -187,13 +231,8 @@ class SNConv1d(nn.Module):
         cd = compute_dtype()
         # power iteration stays f32; the conv runs in the compute dtype
         w_sn = (w / sigma).astype(cd)
-        y = jax.lax.conv_general_dilated(
-            x.astype(cd), w_sn,
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            feature_group_count=self.groups,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        y = grouped_conv1d(x.astype(cd), w_sn, stride=self.stride,
+                           padding=self.padding, groups=self.groups)
         return y + bias.astype(cd)
 
 

@@ -206,3 +206,39 @@ def test_freq_conv_blocked_negative_right_pad():
         want = jnp.transpose(want, (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4)
+
+
+def test_grouped_conv_dense_lowering_matches_grouped():
+    """The dense block-diagonal lowering (AERO_DISC_CONV=auto/dense) must
+    equal XLA's feature_group_count form, fwd and grad, at every MelGAN
+    discriminator group count (groups = 4/16/64/256)."""
+    from aero_tpu.models import discriminators as D
+
+    rng = np.random.default_rng(3)
+    for (t, cin, cout, k, s, g) in [
+        (512, 16, 64, 41, 4, 4),
+        (256, 64, 256, 41, 4, 16),
+        (128, 256, 512, 41, 4, 64),
+        (64, 512, 512, 41, 4, 256),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, t, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((k, cin // g, cout)).astype(np.float32))
+
+        def run(x, w, dense):
+            wd = D._dense_blockdiag(w, g) if dense else w
+            return jax.lax.conv_general_dilated(
+                x, wd, (s,), [(s * 5, s * 5)],
+                feature_group_count=1 if dense else g,
+                dimension_numbers=("NWC", "WIO", "NWC"))
+
+        y_g = run(x, w, dense=False)
+        y_d = run(x, w, dense=True)
+        np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_g),
+                                   rtol=1e-5, atol=1e-4)
+
+        loss = lambda w, dense: jnp.sum(jnp.sin(run(x, w, dense)))
+        g_g = jax.grad(loss)(w, False)
+        g_d = jax.grad(loss)(w, True)
+        np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_g),
+                                   rtol=1e-4, atol=3e-4)
