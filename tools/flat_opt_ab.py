@@ -82,10 +82,15 @@ def time_ab(batch):
 
     args, models, mesh, variables, s_rng, lr, hr = setup(
         "aero_4-16_512_64", batch)
+    # donate=True consumes the state's buffers; keep host copies so the
+    # second variant can rebuild from the same initialization
+    variables_host = jax.tree.map(np.asarray, variables)
+    rng_host = np.asarray(s_rng)
     for flat in ("0", "1"):
         os.environ["AERO_FLAT_OPT"] = flat
-        state = pmesh.replicate(init_state(args, models, variables, s_rng),
-                                mesh)
+        variables = jax.tree.map(jnp.asarray, variables_host)
+        state = pmesh.replicate(
+            init_state(args, models, variables, jnp.asarray(rng_host)), mesh)
         step = make_train_step(args, models, mesh, donate=True)
         state, m = step(state, lr, hr)
         jax.block_until_ready(m)
