@@ -224,7 +224,10 @@ class PrHrSet:
 
     def __init__(self, samples_dir, filenames=None):
         self.samples_dir = samples_dir
-        files = os.listdir(samples_dir)
+        # a rank that enhanced zero files (empty eval shard) never
+        # created the dir; it still builds an (empty) set for the
+        # cross-rank eval reduction
+        files = os.listdir(samples_dir) if os.path.isdir(samples_dir) else []
         if filenames is not None:
             files = [i for i in files if any(j in i for j in filenames)]
 

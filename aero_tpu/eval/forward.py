@@ -22,6 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_target(n: int, bucket: int) -> int:
+    """Padded length for a length-``n`` signal under ``bucket``-sample
+    bucketing (one jit compile per bucket). THE one definition of the
+    bucket arithmetic — EvalForward and both solver valid paths must
+    agree on it or fused/split valid losses silently diverge."""
+    return max(bucket, int(math.ceil(n / bucket)) * bucket)
+
+
 def _pad_reflect_tail(x: np.ndarray, target: int) -> np.ndarray:
     t = x.shape[-1]
     if t >= target:
@@ -83,8 +91,7 @@ class EvalForward:
     def __call__(self, lr: np.ndarray):
         """lr: [B, 1, T] numpy -> pr [B, 1, T*scale] (+ specs if configured)."""
         t = lr.shape[-1]
-        padded_t = t if self.bucket <= 0 else \
-            max(self.bucket, int(math.ceil(t / self.bucket)) * self.bucket)
+        padded_t = t if self.bucket <= 0 else bucket_target(t, self.bucket)
         x = _pad_reflect_tail(np.asarray(lr, np.float32), padded_t)
         out = self._fn_for(padded_t)(self.state, jnp.asarray(x))
         target = int(t * self.scale)

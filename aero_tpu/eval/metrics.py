@@ -19,6 +19,7 @@ import numpy as np
 
 from aero_tpu.data import audio_io
 from aero_tpu.ops.resample import resample_np
+from aero_tpu.utils.hoststft import stft_frames_np
 
 logger = logging.getLogger(__name__)
 
@@ -34,15 +35,7 @@ def stft_mag_np(x: np.ndarray, nfft: int = 2048, hop: int = 512) -> np.ndarray:
     the device transport (measured multiple seconds per eval file on a
     tunneled chip) or, jitted, recompiled per distinct file length. The
     rfft of an eval file is microseconds of host work."""
-    x = np.atleast_2d(np.asarray(x, np.float32))
-    pad = nfft // 2
-    xp = np.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = 1 + (xp.shape[-1] - nfft) // hop
-    idx = (np.arange(nfft)[None, :]
-           + hop * np.arange(n_frames)[:, None])      # [frames, nfft]
-    win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)) \
-        .astype(np.float32)                           # periodic hann
-    z = np.fft.rfft(xp[:, idx] * win, axis=-1)        # [B, frames, F]
+    z = stft_frames_np(np.atleast_2d(np.asarray(x, np.float32)), nfft, hop)
     return np.abs(z).swapaxes(-1, -2)                 # [B, F, frames]
 
 

@@ -35,6 +35,17 @@ logger = logging.getLogger(__name__)
 GENERATOR_KEY = "generator"
 METRICS_KEY_EVALUATION_LOSS = "evaluation_loss"
 METRICS_KEY_BEST_LOSS = "best_loss"
+
+
+def _has_data(loader) -> bool:
+    """Whether a valid/eval phase should run — decided on the GLOBAL
+    dataset size, never the local shard: with more processes than eval
+    files a rank's strided shard is empty (len(loader) == 0), and a
+    per-rank truthiness gate would make ranks disagree on entering the
+    phase's cross-rank reductions, deadlocking the collective. Empty-
+    shard ranks instead run the phase with zero files and contribute
+    weight 0 (see _valid_metric_keys / evaluate's zero-exclusion)."""
+    return loader is not None and len(loader.dataset) > 0
 METRICS_KEY_LSD = "Average lsd"
 METRICS_KEY_VISQOL = "Average visqol"
 
@@ -56,6 +67,8 @@ class Solver:
         self.train_step = make_train_step(args, models, self.mesh)
         self.valid_loss_fn = self._make_loss_only()
         self.fused_valid_fn = self._make_fused_valid()
+        self._valid_keys = None
+        self._spec_fns_cache = None
 
         scale = (float(exp.hr_sr) / float(exp.lr_sr)
                  if not exp.get("upsample", False) else 1.0)
@@ -132,7 +145,7 @@ class Solver:
         margin = STFT_LOSS_PAD_MARGIN
 
         @jax.jit
-        def fused(state, lr_padded, hr_padded, n_valid):
+        def fused(state, lr_padded, hr_padded, n_valid, n_pr):
             variables = {"params": state.gen_params, **state.gen_state}
             pr = gen.apply(variables, lr_padded, train=False)
             L = hr_padded.shape[-1]
@@ -141,6 +154,13 @@ class Solver:
                              + [(0, L - pr.shape[-1])])
             elif pr.shape[-1] > L:
                 pr = pr[..., :L]
+            # reference semantics: model output only covers
+            # int(n_lr*scale) samples (EvalForward's target trim);
+            # match_signal zero-pads any shortfall vs n_hr
+            # (datasets.match_signal). Zero [n_pr, L) so the masked
+            # losses and the reflection below see exactly what the
+            # split path's zero-padded pr contains.
+            pr = pr * (jnp.arange(L) < n_pr).astype(pr.dtype)
             tail = jax.lax.dynamic_slice_in_dim(
                 pr, n_valid - margin - 1, margin, axis=-1)
             pr = jax.lax.dynamic_update_slice_in_dim(
@@ -165,8 +185,7 @@ class Solver:
         """(padded lr len, padded hr len, ok) for the fused valid path;
         ok=False falls back to the split path (exact-length mode, or a
         file too short for the on-device tail reconstruction)."""
-        import math as _math
-
+        from aero_tpu.eval.forward import bucket_target
         from aero_tpu.losses.stft_loss import STFT_LOSS_PAD_MARGIN
 
         exp = self.args.experiment
@@ -174,8 +193,7 @@ class Solver:
         bucket_lr = int(float(self.args.get("eval_bucket_s", 1.0)) * lr_sr)
         if bucket_lr <= 0 or n_hr < STFT_LOSS_PAD_MARGIN + 2:
             return 0, 0, False
-        t_lr = max(bucket_lr,
-                   int(_math.ceil(n_lr / bucket_lr)) * bucket_lr)
+        t_lr = bucket_target(n_lr, bucket_lr)
         t_hr = int(t_lr * self.eval_forward.scale) + STFT_LOSS_PAD_MARGIN
         if t_lr * self.eval_forward.scale < n_hr:
             return 0, 0, False
@@ -192,9 +210,7 @@ class Solver:
         EQUAL the reference's exact-length computation (solver.py:
         353-425) — see tests/test_valid_masking.py. ``eval_bucket_s: 0``
         restores literal exact-length shapes (one compile per length)."""
-        import math as _math
-
-        from aero_tpu.eval.forward import _pad_reflect_tail
+        from aero_tpu.eval.forward import _pad_reflect_tail, bucket_target
         from aero_tpu.losses.stft_loss import STFT_LOSS_PAD_MARGIN
 
         n = int(hr.shape[-1])
@@ -205,8 +221,7 @@ class Solver:
             # margin past n so masked STFT frames and the melgan reflect
             # tail are computed from real reflected samples, not the
             # next file's bucket boundary
-            tgt = max(bucket, int(_math.ceil(
-                (n + STFT_LOSS_PAD_MARGIN) / bucket)) * bucket)
+            tgt = bucket_target(n + STFT_LOSS_PAD_MARGIN, bucket)
             pr = _pad_reflect_tail(np.asarray(pr, np.float32), tgt)
             hr = _pad_reflect_tail(np.asarray(hr, np.float32), tgt)
             n_valid = jnp.asarray(n, jnp.int32)
@@ -311,11 +326,12 @@ class Solver:
 
             if self.cross_valid and (
                     (epoch + 1) % self.cross_valid_every == 0
-                    or epoch == self.epochs - 1) and self.cv_loader:
+                    or epoch == self.epochs - 1) and _has_data(self.cv_loader):
                 cv_start = time.time()
                 logger.info("-" * 70)
                 logger.info("Cross validation...")
-                if self.args.get("valid_equals_test") and self.tt_loader:
+                if self.args.get("valid_equals_test") \
+                        and _has_data(self.tt_loader):
                     enhance_now = ((epoch + 1) % self.eval_every == 0
                                    or epoch == self.epochs - 1)
                     valid_losses, enhanced_filenames = \
@@ -349,7 +365,7 @@ class Solver:
                 metrics[METRICS_KEY_BEST_LOSS] = best_loss
 
             if ((epoch + 1) % self.eval_every == 0
-                    or epoch == self.epochs - 1) and self.tt_loader:
+                    or epoch == self.epochs - 1) and _has_data(self.tt_loader):
                 logger.info("-" * 70)
                 logger.info("Evaluating on the test set...")
                 eval_state = self.state
@@ -363,7 +379,10 @@ class Solver:
                 self.eval_forward.update_state(pmesh.local_state(eval_state))
                 eval_start = time.time()
 
-                if evaluated_on_test and enhanced_filenames:
+                # `is not None`: an empty-shard rank enhanced zero files
+                # ([]) but must still take the same branch as its peers
+                # (both branches end in cross-rank reductions).
+                if evaluated_on_test and enhanced_filenames is not None:
                     enhanced = PrHrSet(self.samples_dir, enhanced_filenames)
                     lsd, visqol = evaluate_on_saved_data(self.args, enhanced,
                                                          epoch)
@@ -409,9 +428,15 @@ class Solver:
         return pmesh.replicate(host, self.mesh)
 
     def _spec_fns(self):
-        from aero_tpu.eval.forward import make_spec_fns
+        # memoized: each make_spec_fns call creates a fresh @jax.jit
+        # closure, which would retrace per call site invocation (the
+        # enhance loop calls this per file)
+        if self._spec_fns_cache is None:
+            from aero_tpu.eval.forward import make_spec_fns
 
-        return make_spec_fns(self.args, self.models["generator"])
+            self._spec_fns_cache = make_spec_fns(self.args,
+                                                 self.models["generator"])
+        return self._spec_fns_cache
 
     def _run_one_epoch(self, epoch):
         self.tr_loader.set_epoch(epoch)
@@ -476,9 +501,11 @@ class Solver:
         if ok:
             lr_b = _pad_reflect_tail(np.asarray(lr, np.float32), t_lr)
             hr_b = _pad_reflect_tail(np.asarray(hr, np.float32), t_hr)
+            n_pr = int(int(lr.shape[-1]) * self.eval_forward.scale)
             return self.fused_valid_fn(lstate, jnp.asarray(lr_b),
                                        jnp.asarray(hr_b),
-                                       jnp.asarray(n_hr, jnp.int32))
+                                       jnp.asarray(n_hr, jnp.int32),
+                                       jnp.asarray(n_pr, jnp.int32))
         out = self.eval_forward(lr)
         pr = out[0] if isinstance(out, tuple) else out
         pr = match_signal(pr, n_hr)
@@ -511,14 +538,30 @@ class Solver:
         avg.update({k: float(v) / n for k, v in host.items()})
         return self._reduce_valid(avg, i + 1)
 
-    @staticmethod
-    def _reduce_valid(avg, n):
+    def _valid_metric_keys(self):
+        """Rank-independent valid metric key set, via ``jax.eval_shape``
+        on the loss jit (config-derived, no compute). A rank whose eval
+        shard is empty (more processes than eval files) must contribute
+        the SAME sorted key vector to the cross-rank reduction as ranks
+        that saw files, or the allgather mismatches shapes."""
+        if self._valid_keys is None:
+            sr = int(self.args.experiment.hr_sr)
+            dummy = jax.ShapeDtypeStruct((1, 1, sr), jnp.float32)
+            out = jax.eval_shape(self.valid_loss_fn,
+                                 pmesh.local_state(self.state), dummy, dummy,
+                                 jax.ShapeDtypeStruct((), jnp.int32))
+            self._valid_keys = sorted(out)
+        return self._valid_keys
+
+    def _reduce_valid(self, avg, n):
         """Cross-rank weighted average of per-rank valid losses so every
         process agrees on evaluation_loss and best-state epochs. The
         reference leaves valid losses rank-local (its distrib.average is
         only applied to eval metrics, src/evaluate.py:173-177) — a
         divergence wart we fix rather than replicate (SURVEY §2.5).
         Single-process: identity."""
+        for k in self._valid_metric_keys():
+            avg.setdefault(k, 0.0)  # weight n=0 on empty shards
         keys = sorted(avg)
         vals, _ = pmesh.global_weighted_average([avg[k] for k in keys], n)
         return dict(zip(keys, vals))

@@ -55,12 +55,8 @@ def power_spectrogram_np(x: np.ndarray, n_fft: int = 400,
     default ``Spectrogram()`` (hann 400, hop 200, centered reflect,
     power 2), used by the reference wandb logger
     (src/wandb_logger.py:56-57). Logging path only — not jitted."""
-    x = np.asarray(x, np.float64).reshape(-1)
-    hop = hop or n_fft // 2
-    pad = n_fft // 2
-    x = np.pad(x, (pad, pad), mode="reflect")
-    n_frames = 1 + (len(x) - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
-    spec = np.fft.rfft(x[idx] * win, axis=-1)
+    from aero_tpu.utils.hoststft import stft_frames_np
+
+    x = np.asarray(x, np.float64).reshape(1, -1)
+    spec = stft_frames_np(x, n_fft, hop or n_fft // 2)[0]
     return (np.abs(spec) ** 2).T

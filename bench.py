@@ -93,11 +93,12 @@ def bench_train(args):
     step = make_train_step(args, models, mesh, donate=True)
 
     exp = args.experiment
-    seg = int(exp.segment * exp.lr_sr)
-    scale = int(exp.hr_sr) // int(exp.lr_sr)
+    # segment_shapes handles non-integer rate ratios and upsample mode
+    # (lr pre-resampled to hr length); only the batch dim is overridden
     gen = np.random.default_rng(0)
-    lr = jnp.asarray(0.1 * gen.standard_normal((batch, 1, seg)), jnp.float32)
-    hr = jnp.asarray(0.1 * gen.standard_normal((batch, 1, seg * scale)),
+    lr = jnp.asarray(0.1 * gen.standard_normal((batch,) + lr_shape[1:]),
+                     jnp.float32)
+    hr = jnp.asarray(0.1 * gen.standard_normal((batch,) + hr_shape[1:]),
                      jnp.float32)
 
     state, metrics = step(state, lr, hr)

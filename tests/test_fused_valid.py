@@ -100,8 +100,12 @@ def _stub(args, models, scale=4.0):
                            eval_forward=SimpleNamespace(scale=scale))
 
 
-@pytest.mark.parametrize("n_hr", [7900, 12040, 16000])
+@pytest.mark.parametrize("n_hr", [7900, 12040, 12042, 16000])
 def test_fused_equals_split(setup, n_hr):
+    """n_hr=12042 (= 4*n_lr + 2): the generator only covers
+    int(n_lr*scale) samples, so the split path's match_signal zero-pads
+    the last 2 — the fused path must replicate that (not leave real
+    model output there)."""
     args, models, state = setup
     stub = _stub(args, models)
     fused = Solver._make_fused_valid(stub)
@@ -118,7 +122,8 @@ def test_fused_equals_split(setup, n_hr):
     hr_b = _pad_reflect_tail(hr, t_hr)
     got = {k: float(v) for k, v in fused(
         state, jnp.asarray(lr_b), jnp.asarray(hr_b),
-        jnp.asarray(n_hr, jnp.int32)).items()}
+        jnp.asarray(n_hr, jnp.int32),
+        jnp.asarray(n_lr * 4, jnp.int32)).items()}
 
     want = _split_path_metrics(args, models, state, lr, hr)
     assert set(got) == set(want)
@@ -157,5 +162,5 @@ def test_one_compile_per_bucket(setup):
             (0.1 * rng.standard_normal((1, 1, n_hr))).astype(np.float32),
             t_hr)
         fused(state, jnp.asarray(lr_b), jnp.asarray(hr_b),
-              jnp.asarray(n_hr, jnp.int32))
+              jnp.asarray(n_hr, jnp.int32), jnp.asarray(n_lr * 4, jnp.int32))
     assert fused._cache_size() == 1

@@ -314,3 +314,51 @@ def test_ddp_autospawn_launcher(workdir):
     assert os.path.exists(os.path.join(run_rel, "trainer.log.1"))
     assert "process 0/2" in open(
         os.path.join(run_rel, "trainer.log")).read()
+
+
+@pytest.mark.slow
+def test_empty_eval_shard(workdir, tmp_path):
+    """More processes than eval files: rank 1's valid/test shard is
+    EMPTY. The cross-rank valid reduction must still agree on one key
+    vector (Solver._valid_metric_keys seeds empty ranks with the full
+    config-derived set at weight 0) — a mismatched allgather hangs or
+    crashes the job; the run must complete with finite global losses."""
+    wd = str(workdir)
+    train = os.path.join(REPO, "train.py")
+
+    # 1-file valid/test egs (slice the module dataset's val jsons)
+    one = tmp_path / "one"
+    one.mkdir()
+    for name in ("lr.json", "hr.json"):
+        with open(os.path.join(wd, "egs", "val", name)) as f:
+            meta = json.load(f)
+        with open(one / name, "w") as f:
+            json.dump(meta[:1], f)
+
+    run_dir = os.path.join(wd, "empty_shard")
+    os.makedirs(run_dir, exist_ok=True)
+    port = _free_port()
+    overrides = BASE + [
+        f"dset.train={wd}/egs/tr",
+        f"dset.valid={one}",
+        f"dset.test={one}",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, train] + overrides,
+            cwd=run_dir, env=_env(1, rank=r, port=port, nprocs=2),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=1500) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed\n{so[-3000:]}\n{se[-3000:]}"
+
+    run_rel = os.path.join(run_dir, "outputs", "debug",
+                           "tiny-nfft=512-hl=64")
+    with open(os.path.join(run_rel, "history.json")) as f:
+        hist = json.load(f)
+    assert len(hist) == 1
+    assert "valid_total_loss" in hist[0]
+    assert np.isfinite(hist[0]["valid_total_loss"])
+    assert np.isfinite(hist[0]["Average lsd"])
