@@ -50,21 +50,44 @@ class EvalForward:
 
     ``scale`` is output-length / input-length (e.g. 4 for 4->16 kHz
     spectral upsampling, 1 when the dataset pre-upsamples).
+
+    ``mesh``: optional local device mesh for multi-chip serving — when
+    the batch divides the device count, params are replicated and the
+    batch axis is sharded over ``dp``, so XLA partitions the forward
+    across chips (one long file's 10 s chunks run data-parallel; see
+    ChunkedInference). Batches that don't divide (e.g. the ragged tail
+    chunk at B=1) fall back to single-device execution.
     """
 
     def __init__(self, gen, state, scale: float, lr_sr: int,
-                 bucket_s: float = 1.0, return_spec: bool = False):
+                 bucket_s: float = 1.0, return_spec: bool = False,
+                 mesh=None):
         self.gen = gen
         self.state = state
         self.scale = scale
         self.bucket = int(bucket_s * lr_sr)
         self.return_spec = return_spec
+        self.mesh = mesh
+        self._mesh_state = None  # lazily replicated over the mesh
         self._cache: tp.Dict[int, tp.Any] = {}
 
     def update_state(self, state):
         self.state = state
+        self._mesh_state = None
         # params change but shapes don't: cached jits stay valid since
         # state is an argument.
+
+    def _call_args(self, x: np.ndarray):
+        """(state, device input) — mesh-sharded when possible."""
+        if self.mesh is not None:
+            n_dev = len(self.mesh.devices.reshape(-1))
+            if x.shape[0] >= n_dev and x.shape[0] % n_dev == 0:
+                from aero_tpu.parallel import mesh as pmesh
+
+                if self._mesh_state is None:
+                    self._mesh_state = pmesh.replicate(self.state, self.mesh)
+                return self._mesh_state, pmesh.shard_batch(x, self.mesh)
+        return self.state, jnp.asarray(x)
 
     def _fn_for(self, t: int):
         if t not in self._cache:
@@ -93,7 +116,7 @@ class EvalForward:
         t = lr.shape[-1]
         padded_t = t if self.bucket <= 0 else bucket_target(t, self.bucket)
         x = _pad_reflect_tail(np.asarray(lr, np.float32), padded_t)
-        out = self._fn_for(padded_t)(self.state, jnp.asarray(x))
+        out = self._fn_for(padded_t)(*self._call_args(x))
         target = int(t * self.scale)
         if self.return_spec:
             pr, (pr_re, pr_im), (lr_re, lr_im) = out

@@ -19,12 +19,14 @@ import os
 import sys
 import time
 
+import jax
 import numpy as np
 
 from aero_tpu.data import audio_io
 from aero_tpu.eval.enhance import write
 from aero_tpu.eval.forward import ChunkedInference, EvalForward
 from aero_tpu.ops.resample import resample_np
+from aero_tpu.parallel import mesh as pmesh
 from aero_tpu.train import build
 from aero_tpu.utils.config import load_config, run_dir_for
 from aero_tpu.utils.log import setup_logging
@@ -57,13 +59,20 @@ def main():
 
     scale = (float(exp.hr_sr) / float(exp.lr_sr)
              if not exp.get("upsample", False) else 1.0)
+    # multi-chip serving: with N local devices the 10 s chunks of one
+    # file run data-parallel over the mesh (chunk batch sharded on dp,
+    # params replicated); single chip degenerates to the plain path
+    mesh = pmesh.make_mesh(jax.local_devices()) \
+        if jax.local_device_count() > 1 else None
     fwd = EvalForward(models["generator"], state, scale=scale, lr_sr=sr,
-                      bucket_s=float(args.get("eval_bucket_s", 1.0)))
+                      bucket_s=float(args.get("eval_bucket_s", 1.0)),
+                      mesh=mesh)
     # all full 10 s chunks run as one (optionally mesh-sharded) batch
     chunked = ChunkedInference(lambda x: fwd(x), sr,
                                segment_s=SEGMENT_DURATION_SEC,
                                batch_chunks=bool(args.get("batch_chunks",
-                                                          True)))
+                                                          True)),
+                               mesh=mesh)
 
     x = lr_sig[None]  # [1, C, T]
     # warmup/compile outside the timed region reflects steady-state serving

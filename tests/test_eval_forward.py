@@ -76,3 +76,33 @@ def test_chunked_batched_matches_sequential():
     bat = ChunkedInference(fwd, sr=4000, segment_s=1.0, batch_chunks=True)(x)
     assert seq.shape == bat.shape == (1, 1, 42000)
     np.testing.assert_allclose(bat, seq, atol=2e-4)
+
+
+def test_mesh_sharded_chunked_matches_single_device():
+    """Multi-chip serving (predict.py): chunk batch sharded over an
+    8-device dp mesh + replicated params must produce the same waveform
+    as plain single-device chunked inference (EvalForward(mesh=...),
+    ChunkedInference(mesh=...))."""
+    from aero_tpu.parallel import mesh as pmesh
+
+    gen = Aero(**KW)
+    rng = np.random.default_rng(2)
+    # 8.6 s at 4 kHz -> 8 full 1 s chunks (divides the mesh) + tail
+    x = (0.1 * rng.standard_normal((1, 1, 34400))).astype(np.float32)
+    state = _state(gen, jnp.asarray(x[..., :4000]))
+
+    plain = ChunkedInference(
+        EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5),
+        sr=4000, segment_s=1.0, batch_chunks=True)
+
+    mesh = pmesh.make_mesh()
+    assert len(mesh.devices.reshape(-1)) == 8  # conftest virtual devices
+    sharded = ChunkedInference(
+        EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5,
+                    mesh=mesh),
+        sr=4000, segment_s=1.0, batch_chunks=True, mesh=mesh)
+
+    y0 = plain(x)
+    y1 = sharded(x)
+    assert y0.shape == y1.shape == (1, 1, 34400 * 4)
+    np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=2e-5)
