@@ -20,7 +20,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 from aero_tpu.data import audio_io
 from aero_tpu.eval.enhance import write
