@@ -204,15 +204,18 @@ class LrHrSet:
         zj = jstft(jnp.asarray(sig), self.n_fft, self.hop_length,
                    self.window_length, normalized=False,
                    center=True, pad_mode="reflect")
-        # fetch real/imag separately (complex-safe for remote runtimes)
-        z = np.asarray(jnp.real(zj)) + 1j * np.asarray(jnp.imag(zj))
+        # fetch real/imag separately (complex-safe for remote runtimes;
+        # never materialize an intermediate complex array on this
+        # loader hot path)
+        re = np.asarray(jnp.real(zj), np.float32)
+        im = np.asarray(jnp.imag(zj), np.float32)
         if self.complex_as_channels:
-            ch, fr, t = z.shape
+            ch, fr, t = re.shape
             out = np.empty((2 * ch, fr, t), np.float32)
-            out[0::2] = z.real
-            out[1::2] = z.imag
+            out[0::2] = re
+            out[1::2] = im
             return out
-        return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+        return np.stack([re, im], axis=-1)
 
     def __len__(self):
         return len(self.lr_set)

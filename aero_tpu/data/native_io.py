@@ -70,8 +70,11 @@ def info(path: str) -> tp.Tuple[int, int, int]:
 
 def load(path: str, frame_offset: int = 0,
          num_frames: int = -1) -> tp.Tuple[np.ndarray, int]:
-    """Returns ([channels, frames] float32, sample_rate); zero-pads short
-    reads to num_frames like the numpy codec does NOT — matches raw read."""
+    """Returns ([channels, frames] float32, sample_rate). Short reads
+    (EOF inside the requested window) are TRUNCATED to the frames
+    actually read — same contract as the numpy codec ``audio_io.load``;
+    callers needing fixed-length segments pad themselves (as
+    ``Audioset.__getitem__`` does)."""
     lib = get_lib()
     sr, ch, total = info(path)
     if num_frames is None or num_frames < 0:

@@ -29,7 +29,10 @@ import math
 
 import jax
 import jax.numpy as jnp
+
 import numpy as np
+
+from aero_tpu.ops.util import round_up
 
 _INTERPRET = False  # flipped by tests on CPU
 
@@ -151,10 +154,6 @@ def _pallas_kernel_resident(q_ref, k_ref, v_ref, w_ref, o_ref, *,
     jax.lax.fori_loop(0, n_qb, body, 0)
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
 def pallas_attention(q, k, content, decay_w, block_q: int = 128,
                      block_k: int | None = None):
     """Pallas flash local attention. Shapes as reference_attention.
@@ -167,11 +166,11 @@ def pallas_attention(q, k, content, decay_w, block_q: int = 128,
     """
     b, t, h, c = q.shape
     if block_k is None:
-        block_k = _round_up(t, 256) if t <= 3072 else 2048
-    t_q = _round_up(t, block_q)
-    t_k = _round_up(t, block_k)
+        block_k = round_up(t, 256) if t <= 3072 else 2048
+    t_q = round_up(t, block_q)
+    t_k = round_up(t, block_k)
     # fold (B, H) into rows; pad T and C
-    c_pad = max(128, _round_up(c, 128))
+    c_pad = max(128, round_up(c, 128))
 
     def fold(x, t_pad):
         x = jnp.moveaxis(x, 2, 1).reshape(b * h, t, c)  # [BH, T, C]
@@ -299,8 +298,8 @@ def pallas_attention_bwd(q, k, content, decay_w, out, g, block_q: int = 256):
     """Pallas backward. Shapes as reference_attention; returns
     (dq, dk, dcontent, ddecay_w)."""
     b, t, h, c = q.shape
-    t_pad = _round_up(t, block_q)
-    c_pad = max(128, _round_up(c, 128))
+    t_pad = round_up(t, block_q)
+    c_pad = max(128, round_up(c, 128))
 
     def fold(x):
         x = jnp.moveaxis(x, 2, 1).reshape(b * h, t, c)
@@ -351,7 +350,14 @@ def _fla_fwd(q, k, content, decay_w):
 def _fla_bwd(res, g):
     q, k, content, decay_w, out = res
     t = q.shape[1]
-    if t <= 4096:  # resident accumulators fit VMEM
+    # VMEM budget: the bwd stages ~10 [t_pad, 128] f32 buffers per grid
+    # step (5 inputs, 3 grads, 2 scratch accumulators) ≈ 5.1 KB/row
+    # before double-buffering — t_pad=4096 oversubscribes the ~16 MB
+    # VMEM that the FORWARD's 3072 resident cap was tuned for (fewer
+    # buffers), so the old `t <= 4096` gate could compile the forward
+    # yet fail the backward for T in (3072, 4096]. 2048 leaves 2x
+    # headroom for pipelining.
+    if t <= 2048:  # resident accumulators fit VMEM
         return pallas_attention_bwd(q, k, content, decay_w, out, g)
     # dense fallback (recomputed reference graph) for very long sequences
     _, vjp = jax.vjp(reference_attention, q, k, content, decay_w)

@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from aero_tpu.ops.util import round_up
+
 _INTERPRET = False
 
 try:
@@ -33,10 +35,6 @@ try:
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def _kernel(y_ref, x_ref, h_ref, ka_ref, kb_ref, b2_ref, o_ref):
@@ -71,7 +69,7 @@ def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64):
     """
     b, f, t, c = x.shape
     cd = x.dtype
-    t_pad = _round_up(t, block_t)
+    t_pad = round_up(t, block_t)
     if t_pad != t:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
         h = jnp.pad(h, ((0, 0), (0, t_pad - t), (0, 0)))

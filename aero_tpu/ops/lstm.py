@@ -36,6 +36,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from aero_tpu.ops.util import round_up
+
 _INTERPRET = False
 
 try:
@@ -47,10 +49,6 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _LANE = 128
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def _kernel(xp_ref, whh_ref, out_ref, h_ref, c_ref, *, hidden2: int,
@@ -141,8 +139,8 @@ def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
     """
     t, gh, b = xp.shape
     assert gh == 8 * hidden and hidden % 8 == 0 and 2 * hidden <= 512
-    bb = min(block_b, _round_up(b, _LANE))
-    b_pad = _round_up(b, bb)
+    bb = min(block_b, round_up(b, _LANE))
+    b_pad = round_up(b, bb)
     if b_pad != b:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, b_pad - b)))
 
