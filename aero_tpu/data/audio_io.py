@@ -39,7 +39,11 @@ def _read_header(f) -> WavInfo:
             break
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"corrupt fmt chunk (size {size} < 16)")
             body = f.read(size)
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             (audio_format, channels, sample_rate, _br, _ba,
              bits) = struct.unpack("<HHIIHH", body[:16])
             if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
@@ -55,6 +59,9 @@ def _read_header(f) -> WavInfo:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, bits = fmt
     bytes_per_frame = channels * bits // 8
+    if bytes_per_frame <= 0:
+        raise ValueError(f"corrupt fmt chunk (channels={channels}, "
+                         f"bits={bits})")
     # tolerate size-0 / streamed data chunks
     if data_size == 0 or data_size == 0xFFFFFFFF:
         f.seek(0, 2)
@@ -102,6 +109,12 @@ def load(path: str, frame_offset: int = 0,
             count = max(0, min(num_frames, meta.num_frames - start))
         f.seek(meta.data_offset + start * bpf)
         raw = f.read(count * bpf)
+    if len(raw) % bpf:
+        # file truncated mid-frame (header's data_size > bytes present):
+        # drop the partial frame and return a short read, matching the
+        # native codec's contract (wav.cc truncates to got/bpf) instead
+        # of crashing _decode on a ragged buffer
+        raw = raw[:len(raw) - len(raw) % bpf]
     return _decode(raw, meta.bits_per_sample, meta.audio_format,
                    meta.channels), meta.sample_rate
 

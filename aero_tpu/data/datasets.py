@@ -232,7 +232,14 @@ class PrHrSet:
         # cross-rank eval reduction
         files = os.listdir(samples_dir) if os.path.isdir(samples_dir) else []
         if filenames is not None:
-            files = [i for i in files if any(j in i for j in filenames)]
+            # exact-stem match, NOT the reference's substring filter
+            # (datasets.py:61: `any(j in i)`) — with multiple ranks
+            # sharing samples_dir, a filename that is a prefix of
+            # another's ('file_1' vs 'file_12') would pull another
+            # rank's triples into this shard and double-count metrics
+            wanted = {f"{j}_{kind}.wav" for j in filenames
+                      for kind in ("lr", "hr", "pr")}
+            files = [i for i in files if i in wanted]
 
         self.hr_filenames = sorted(f for f in files if f.endswith("_hr.wav"))
         self.lr_filenames = sorted(f for f in files if f.endswith("_lr.wav"))

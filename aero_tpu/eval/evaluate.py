@@ -120,16 +120,43 @@ def evaluate(args, data_loader, epoch, eval_forward, spec_fns=None):
 
 
 def evaluate_on_saved_data(args, data_loader, epoch):
-    """Metrics over saved _lr/_hr/_pr triples (reference :100-140)."""
+    """Metrics over saved _lr/_hr/_pr triples (reference :100-140),
+    with per-file wandb media for the first ``n_files_to_log`` files —
+    audio plus the saved ``_spec.png`` heatmaps re-read from the samples
+    dir (reference evaluate_lr_hr_pr_data, :18-47)."""
     total_lsd = total_visqol = 0.0
     lsd_count = visqol_count = total_cnt = 0
+    n_log = int(args.wandb.get("n_files_to_log", 10)) if "wandb" in args \
+        else -1
+    lr_sr = args.experiment.hr_sr if args.experiment.get("upsample") \
+        else args.experiment.lr_sr
+    n_submitted = 0
 
-    def one(data):
+    def _saved_spec(filename, kind):
+        path = os.path.join(args.samples_dir,
+                            f"{filename}_{kind}_spec.png")
+        if not os.path.exists(path):
+            return None
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+
+    def one(data, log_media):
         lr_i, hr_i, pr_i, filename = data
         if isinstance(filename, (list, tuple)):
             filename = filename[0]
             lr_i, hr_i, pr_i = lr_i[0], hr_i[0], pr_i[0]
-        return run_metrics(hr_i[None], pr_i[None], args, filename)
+        lsd_i, visqol_i = run_metrics(hr_i[None], pr_i[None], args, filename)
+        if log_media:
+            wandb_logger.log_data_to_wandb(
+                pr_i[None], hr_i[None], lr_i[None], lsd_i, visqol_i,
+                filename, epoch, lr_sr, args.experiment.hr_sr,
+                lr_spec=_saved_spec(filename, "lr"),
+                pr_spec=_saved_spec(filename, "pr"),
+                hr_spec=_saved_spec(filename, "hr"),
+                specs_rendered=True)
+        return lsd_i, visqol_i
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -142,7 +169,9 @@ def evaluate_on_saved_data(args, data_loader, epoch):
         for data in iterator:
             if len(futures) >= 8:
                 futures[-8].result()
-            futures.append(pool.submit(one, data))
+            log_media = n_log == -1 or n_submitted < n_log
+            n_submitted += 1
+            futures.append(pool.submit(one, data, log_media))
         for fut in futures:
             lsd_i, visqol_i = fut.result()
             total_lsd += lsd_i

@@ -63,16 +63,21 @@ class EvalForward:
                  bucket_s: float = 1.0, return_spec: bool = False,
                  mesh=None):
         self.gen = gen
-        self.state = state
         self.scale = scale
         self.bucket = int(bucket_s * lr_sr)
         self.return_spec = return_spec
         self.mesh = mesh
-        self._mesh_state = None  # lazily replicated over the mesh
         self._cache: tp.Dict[int, tp.Any] = {}
+        self.update_state(state)  # pins on device (see update_state)
 
     def update_state(self, state):
-        self.state = state
+        # Pin the state on device ONCE. test.py/predict.py hand a
+        # host-numpy tree (checkpoint load): without this, EVERY jitted
+        # call re-uploads the full parameter set (~80 MB for the
+        # canonical model — measured 1.8 s/call through the remote
+        # tunnel, swamping the ~30 ms forward). For trees already on
+        # device (solver paths) this is a no-op.
+        self.state = jax.device_put(state)
         self._mesh_state = None
         # params change but shapes don't: cached jits stay valid since
         # state is an argument.
@@ -165,7 +170,11 @@ class ChunkedInference:
                 n_dev = len(self.mesh.devices.reshape(-1))
                 pad = (-len(stack)) % n_dev
                 if pad:
-                    stack = np.concatenate([stack, stack[:pad]], axis=0)
+                    # wrap indices: pad may exceed len(stack) (fewer
+                    # chunks than devices) — stack[:pad] alone would
+                    # under-pad and silently disable the mesh sharding
+                    idx = np.arange(pad) % len(stack)
+                    stack = np.concatenate([stack, stack[idx]], axis=0)
             y = np.asarray(self.forward(stack))
             y = y[:n_full * lr.shape[0]]
             y = y.reshape(n_full, lr.shape[0], *y.shape[1:])

@@ -39,18 +39,13 @@ def get_model(args) -> tp.Dict[str, tp.Any]:
         disc_names = exp.get("discriminator_models", [])
         if "msd_melgan" in disc_names:
             models["msd_melgan"] = MelganDiscriminator(**dict(exp.melgan_discriminator))
-        if "msd_hifi" in disc_names:
+        # 'hifi' needs BOTH hifi discs (reference modelFactory.py:21-27)
+        if "msd_hifi" in disc_names or "hifi" in disc_names:
             models["msd_hifi"] = MultiScaleDiscriminator(**dict(exp.msd))
-        if "mpd" in disc_names:
+        if "mpd" in disc_names or "hifi" in disc_names:
             mpd_kw = dict(exp.mpd)
             if "periods" in mpd_kw:
                 mpd_kw["periods"] = tuple(mpd_kw["periods"])
             models["mpd"] = MultiPeriodDiscriminator(**mpd_kw)
-        if "hifi" in disc_names:
-            mpd_kw = dict(exp.mpd)
-            if "periods" in mpd_kw:
-                mpd_kw["periods"] = tuple(mpd_kw["periods"])
-            models["mpd"] = MultiPeriodDiscriminator(**mpd_kw)
-            models["msd_hifi"] = MultiScaleDiscriminator(**dict(exp.msd))
 
     return models

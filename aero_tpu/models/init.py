@@ -97,9 +97,12 @@ def rescale_tree(params, reference: float = 0.1):
     """Reproduce ``rescale_module`` (src/models/aero.py:17-28).
 
     Torch applies it to every nn.Conv1d/ConvTranspose1d; in our tree those
-    are exactly the parameter groups whose 'kernel' has rank 3. The bias
-    is divided by the same per-layer scale, computed from the realized
-    kernel std — identical to the reference.
+    are exactly the parameter groups whose 'kernel' has rank 3 — EXCEPT
+    the decoder's ``conv_tr``: ConvTranspose2dFreq stores its (k, in,
+    out) kernel rank-3 but mirrors an nn.ConvTranspose2d, which the
+    reference does NOT rescale (AERO has no ConvTranspose1d anywhere).
+    The bias is divided by the same per-layer scale, computed from the
+    realized kernel std — identical to the reference.
     """
     if not reference:
         return params
@@ -109,7 +112,8 @@ def rescale_tree(params, reference: float = 0.1):
             kernel = node.get("kernel")
             is_conv1d_like = (
                 kernel is not None and hasattr(kernel, "ndim")
-                and kernel.ndim == 3)
+                and kernel.ndim == 3
+                and (not path or path[-1] != "conv_tr"))
             if is_conv1d_like:
                 std = jnp.std(kernel)
                 scale = jnp.sqrt(std / reference)

@@ -139,17 +139,3 @@ def global_weighted_average(values, count):
     total = multihost_utils.process_allgather(arr).sum(axis=0)
     total_count = max(total[-1], 1e-9)
     return [float(v / total_count) for v in total[:-1]], int(total[-1])
-
-
-def pad_batch_to(batch, size: int):
-    """Pad the leading axis to ``size`` (repeating the first element) so
-    ragged final eval batches keep static XLA shapes. Returns (batch, n_real)."""
-    def pad(x):
-        n = x.shape[0]
-        if n == size:
-            return x
-        reps = np.repeat(x[:1], size - n, axis=0)
-        return np.concatenate([x, reps], axis=0)
-
-    n_real = jax.tree.leaves(batch)[0].shape[0]
-    return jax.tree.map(pad, batch), n_real

@@ -63,7 +63,6 @@ class Solver:
         exp = args.experiment
         self.adversarial_mode = bool(exp.get("adversarial", False))
 
-        self.device_count = len(self.mesh.devices.reshape(-1))
         self.train_step = make_train_step(args, models, self.mesh)
         self.valid_loss_fn = self._make_loss_only()
         self.fused_valid_fn = self._make_fused_valid()
@@ -183,12 +182,21 @@ class Solver:
 
     def _fused_valid_shapes(self, n_lr: int, n_hr: int):
         """(padded lr len, padded hr len, ok) for the fused valid path;
-        ok=False falls back to the split path (exact-length mode, or a
-        file too short for the on-device tail reconstruction)."""
+        ok=False falls back to the split path (exact-length mode, a file
+        too short for the on-device tail reconstruction, or hifi-family
+        discriminators — their valid losses are unmasked means over
+        zero-masked PADDED signals, so the value depends on the padded
+        length, and fused (t_lr*scale+margin) and split (hr-bucket
+        multiple) pad differently; mixing the two paths within an epoch
+        would make per-file losses routing-dependent. melgan masks
+        per-layer, so it is padding-invariant and fuses fine)."""
         from aero_tpu.eval.forward import bucket_target
         from aero_tpu.losses.stft_loss import STFT_LOSS_PAD_MARGIN
 
         exp = self.args.experiment
+        if bool(exp.get("adversarial", False)) and set(
+                exp.get("discriminator_models", [])) - {"msd_melgan"}:
+            return 0, 0, False
         lr_sr = int(exp.hr_sr if exp.get("upsample", False) else exp.lr_sr)
         bucket_lr = int(float(self.args.get("eval_bucket_s", 1.0)) * lr_sr)
         if bucket_lr <= 0 or n_hr < STFT_LOSS_PAD_MARGIN + 2:
@@ -258,7 +266,7 @@ class Solver:
         if load_from:
             logger.info(f"Loading checkpoint model: {load_from}")
             if str(load_from).endswith(".th"):
-                self._load_torch(load_from, load_best)
+                self._load_torch(load_from, load_best, keep_history)
             else:
                 package = ckpt.load_package(load_from)
                 host = jax.device_get(self.state)
@@ -269,20 +277,59 @@ class Solver:
                 self.best_states = ckpt.best_states_from_package(package)
             self.eval_forward.update_state(pmesh.local_state(self.state))
 
-    def _load_torch(self, path, load_best):
+    def _load_torch(self, path, load_best, keep_history=True):
+        """Resume from a reference ``checkpoint.th``: restore every model
+        whose importer exists (generator + msd_melgan), history, and
+        best_states — the reference package contract (solver.py:103-133,
+        model_serializer.py:39-53). Not restored: optimizer moments
+        (torch Adam's integer-id state layout has no stable mapping onto
+        the optax pytree — fresh moments re-warm within a few hundred
+        steps) and hifi-family discriminator states (no importer); both
+        are logged loudly rather than silently dropped."""
         from aero_tpu.train import torch_import
 
         pkg = torch_import.load_torch_checkpoint(path)
         src = pkg["best_states"] if load_best and pkg["best_states"] \
             else pkg["models"]
         host = jax.device_get(self.state)
-        gen_vars = torch_import.import_generator_state(
-            str(self.args.experiment.model), src["generator"],
-            {"params": host.gen_params, **host.gen_state})
-        gen_vars = dict(gen_vars)
+
+        def imported_models(src_states, template):
+            gen_vars = dict(torch_import.import_generator_state(
+                str(self.args.experiment.model), src_states["generator"],
+                {"params": template.gen_params, **template.gen_state}))
+            disc_params = dict(template.disc_params)
+            for name in template.disc_params:
+                if name not in src_states:
+                    logger.warning(
+                        f"torch checkpoint has no '{name}' state; the "
+                        f"discriminator keeps its fresh initialization")
+                elif name == "msd_melgan":
+                    disc_params[name] = torch_import.import_melgan_state(
+                        src_states[name], template.disc_params[name],
+                        int(self.args.experiment
+                            .melgan_discriminator.n_layers))
+                else:
+                    logger.warning(
+                        f"no torch importer for discriminator '{name}'; "
+                        f"it keeps its fresh initialization")
+            return gen_vars, disc_params
+
+        gen_vars, disc_params = imported_models(src, host)
         host = host.replace(gen_params=gen_vars.pop("params"),
-                            gen_state=gen_vars)
+                            gen_state=gen_vars, disc_params=disc_params)
+        logger.warning("torch checkpoint: optimizer moments are not "
+                       "importable; Adam restarts with fresh moments")
         self.state = pmesh.replicate(host, self.mesh)
+        if keep_history and pkg.get("history"):
+            self.history = list(pkg["history"])
+        if pkg["best_states"]:
+            b_gen, b_disc = imported_models(pkg["best_states"],
+                                            jax.device_get(self.state))
+            best = {GENERATOR_KEY: b_gen}
+            host_dstate = jax.device_get(self.state.disc_state)
+            for name, p in b_disc.items():
+                best[name] = {"params": p, **host_dstate.get(name, {})}
+            self.best_states = best
 
     # ------------------------------------------------------------------
     def train(self):
@@ -368,25 +415,29 @@ class Solver:
                     or epoch == self.epochs - 1) and _has_data(self.tt_loader):
                 logger.info("-" * 70)
                 logger.info("Evaluating on the test set...")
-                eval_state = self.state
-                swapped = False
-                if self.args.get("evaluate_on_best") and self.best_states:
-                    logger.info("Loading best state.")
-                    eval_state = self._state_with(self.best_states)
-                    swapped = True
-                else:
-                    logger.info("Using last state.")
-                self.eval_forward.update_state(pmesh.local_state(eval_state))
                 eval_start = time.time()
+                swapped = False
 
                 # `is not None`: an empty-shard rank enhanced zero files
                 # ([]) but must still take the same branch as its peers
                 # (both branches end in cross-rank reductions).
                 if evaluated_on_test and enhanced_filenames is not None:
+                    # scores artifacts already enhanced (with the last
+                    # state) during cross-valid — no model forward, so no
+                    # best-state swap / state fetch here
+                    logger.info("Scoring saved enhanced artifacts.")
                     enhanced = PrHrSet(self.samples_dir, enhanced_filenames)
                     lsd, visqol = evaluate_on_saved_data(self.args, enhanced,
                                                          epoch)
                 else:
+                    eval_state = self.state
+                    if self.args.get("evaluate_on_best") and self.best_states:
+                        logger.info("Loading best state.")
+                        eval_state = self._state_with(self.best_states)
+                        swapped = True
+                    else:
+                        logger.info("Using last state.")
+                    self.eval_forward.update_state(pmesh.local_state(eval_state))
                     lsd, visqol, enhanced_filenames = evaluate(
                         self.args, self.tt_loader, epoch, self.eval_forward,
                         spec_fns=self._spec_fns())
@@ -487,7 +538,11 @@ class Solver:
         total_losses = {k: float(v) for k, v in host.items()}
         avg = {"total": total_loss / n, "evaluation": total_loss / n}
         avg.update({k: v / n for k, v in total_losses.items()})
-        self.eval_forward.update_state(pmesh.local_state(self.state))
+        # eval_forward is NOT refreshed here: pmesh.local_state fetches
+        # the full tree to host on multi-process runs (minutes through a
+        # remote tunnel), and most epochs never use eval_forward. The
+        # valid/eval phases refresh it themselves (reusing their own
+        # local_state fetch) right before use.
         return avg
 
     def _file_valid_metrics(self, lstate, lr, hr):
@@ -520,6 +575,7 @@ class Solver:
         logprog = LogProgress(logger, loader, updates=self.num_prints,
                               name=f"Valid | Epoch {epoch + 1}")
         lstate = pmesh.local_state(self.state)
+        self.eval_forward.update_state(lstate)  # split-path fallback files
         n_files = len(loader)
         log_every = max(1, n_files // max(1, self.num_prints))
         acc = None
@@ -577,6 +633,7 @@ class Solver:
                               name=f"Valid | Epoch {epoch + 1}")
         exp = self.args.experiment
         lstate = pmesh.local_state(self.state)
+        self.eval_forward.update_state(lstate)
         i = -1
         n_files = len(self.tt_loader)
         log_every = max(1, n_files // max(1, self.num_prints))
@@ -596,23 +653,29 @@ class Solver:
                     logprog.update(total_loss=format(running, ".5f"))
                 continue
 
+            # enhance-and-save path (the `not enhance` branch continued
+            # above). Spec artifacts match evaluate(): AERO returns its
+            # own spectra; other models get plain spectro heatmaps
+            # (reference evaluate.py:69-73 via solver.py:378-395).
             if self.eval_forward.return_spec:
                 pr, pr_spec, lr_spec = self.eval_forward(lr)
                 hr_spec = self._spec_fns()["hr_spec"](hr)
             else:
                 pr = self.eval_forward(lr)
-                pr_spec = lr_spec = hr_spec = None
+                spec = self._spec_fns().get("spec")
+                pr_spec = spec(pr) if spec else None
+                lr_spec = spec(lr) if spec else None
+                hr_spec = spec(hr) if spec else None
             pr = match_signal(pr, hr.shape[-1])
 
-            if enhance:
-                os.makedirs(self.samples_dir, exist_ok=True)
-                lr_sr = exp.hr_sr if exp.get("upsample") else exp.lr_sr
-                save_wavs(pr, lr, hr,
-                          [os.path.join(self.samples_dir, filename)],
-                          lr_sr, exp.hr_sr)
-                if pr_spec is not None:
-                    save_specs(lr_spec[0], pr_spec[0], hr_spec[0],
-                               os.path.join(self.samples_dir, filename))
+            os.makedirs(self.samples_dir, exist_ok=True)
+            lr_sr = exp.hr_sr if exp.get("upsample") else exp.lr_sr
+            save_wavs(pr, lr, hr,
+                      [os.path.join(self.samples_dir, filename)],
+                      lr_sr, exp.hr_sr)
+            if pr_spec is not None:
+                save_specs(lr_spec[0], pr_spec[0], hr_spec[0],
+                           os.path.join(self.samples_dir, filename))
 
             metrics = self._valid_losses(lstate, pr, hr)
             total_loss += float(metrics["total"])

@@ -371,13 +371,16 @@ def save_torch_checkpoint(path: str, variables, kwargs: dict,
 def load_torch_checkpoint(path: str):
     """Load a reference checkpoint.th -> dict of numpy state dicts.
 
-    Returns {'models': {name: state_dict}, 'best_states': {...} or None}.
-    Requires torch (CPU) at call time only.
+    Returns {'models': {name: state_dict}, 'best_states': {...} or None,
+    'history': [per-epoch metric dicts]} (reference package layout,
+    src/model_serializer.py:39-53). Requires torch (CPU) at call time
+    only.
     """
     import torch
 
     pkg = torch.load(path, map_location="cpu", weights_only=False)
-    out = {"models": {}, "best_states": None}
+    out = {"models": {}, "best_states": None,
+           "history": list(pkg.get("history") or [])}
     for name, mp in pkg.get("models", {}).items():
         out["models"][name] = {k: v.numpy() for k, v in mp["state"].items()}
     best = pkg.get("best_states") or {}

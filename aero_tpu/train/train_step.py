@@ -240,6 +240,13 @@ class LossComputer:
                      < n_valid).astype(pr_tc.dtype)
             pr_tc = pr_tc * zmask
             hr_tc = hr_tc * zmask
+        # Reference semantics (solver.py:443-468,607-612): every entry in
+        # discriminator_models contributes its OWN loss key and
+        # _optimize_adversarial sums them all — so 'hifi' combined with
+        # 'msd_hifi'/'mpd' counts the shared disc twice, exactly like the
+        # reference. The shared forwards below are computed once and the
+        # loss VALUE reused (identical math, identical double gradient).
+        msd_loss = mpd_loss = None
         if "msd_hifi" in self.disc_names or "hifi" in self.disc_names:
             disc = self.models["msd_hifi"]
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
@@ -250,16 +257,18 @@ class LossComputer:
                 new_state["msd_hifi"] = dict(upd)
             else:
                 y_r, y_g, _, _ = disc.apply(v, hr_tc, pr_tc, train=train)
-            key = "msd" if "msd_hifi" in self.disc_names else "hifi_msd"
-            out[key] = hifi_discriminator_loss(y_r, y_g)
+            msd_loss = hifi_discriminator_loss(y_r, y_g)
+            if "msd_hifi" in self.disc_names:
+                out["msd"] = msd_loss
         if "mpd" in self.disc_names or "hifi" in self.disc_names:
             disc = self.models["mpd"]
             y_r, y_g, _, _ = disc.apply({"params": disc_params["mpd"]},
                                         hr_tc, pr_tc)
-            out["mpd" if "mpd" in self.disc_names else "hifi_mpd"] = \
-                hifi_discriminator_loss(y_r, y_g)
+            mpd_loss = hifi_discriminator_loss(y_r, y_g)
+            if "mpd" in self.disc_names:
+                out["mpd"] = mpd_loss
         if "hifi" in self.disc_names:
-            out = {"hifi": out.get("hifi_msd", 0.0) + out.get("hifi_mpd", 0.0)}
+            out["hifi"] = msd_loss + mpd_loss
         return out, new_state
 
 

@@ -97,15 +97,21 @@ def _spec_heatmap(spec):
 
 
 def log_data_to_wandb(pr, hr, lr, lsd, visqol, filename, epoch,
-                      lr_sr, hr_sr, lr_spec=None, pr_spec=None, hr_spec=None):
+                      lr_sr, hr_sr, lr_spec=None, pr_spec=None, hr_spec=None,
+                      specs_rendered=False):
     """Per-file media logs mirroring reference wandb_logger.py:55-105:
     PR spectrogram+audio always; model spectra (pr always, hr/lr while
-    epoch <= 10) and hr/lr spectrogram+audio while epoch <= 10."""
+    epoch <= 10) and hr/lr spectrogram+audio while epoch <= 10.
+
+    ``specs_rendered``: the *_spec args are already-rendered RGB images
+    (the saved-data path re-reads its ``_spec.png`` artifacts, reference
+    evaluate.py:38-41) rather than complex spectrograms."""
     if not _active:
         return
     import numpy as np
 
     pr, hr, lr = (np.asarray(x) for x in (pr, hr, lr))
+    heat = (lambda s: s) if specs_rendered else _spec_heatmap
     data = {
         f"test samples/{filename}/lsd": lsd,
         f"test samples/{filename}/visqol": visqol,
@@ -116,12 +122,12 @@ def log_data_to_wandb(pr, hr, lr, lsd, visqol, filename, epoch,
     }
     if pr_spec is not None and hr_spec is not None and lr_spec is not None:
         data[f"test samples/{filename}/pr_spec"] = _wandb.Image(
-            _spec_heatmap(pr_spec), caption="PR spec")
+            heat(pr_spec), caption="PR spec")
         if epoch <= 10:
             data[f"test samples/{filename}/hr_spec"] = _wandb.Image(
-                _spec_heatmap(hr_spec), caption="HR spec")
+                heat(hr_spec), caption="HR spec")
             data[f"test samples/{filename}/lr_spec"] = _wandb.Image(
-                _spec_heatmap(lr_spec), caption="LR spec")
+                heat(lr_spec), caption="LR spec")
     if epoch <= 10:
         data[f"test samples/{filename}/{filename}_hr_spectrogram"] = \
             _wandb.Image(_wave_heatmap(hr), caption="HR")

@@ -19,10 +19,11 @@ Prints ONE JSON line:
    "vs_baseline": N / 10.0}
 
 Env overrides: AERO_BENCH_BATCH (default 16 — the recorded numbers are
-batch-16 amortized throughput), AERO_BENCH_ITERS (default 5), plus any
-config override args (e.g. ``precision=float32``). AERO_BENCH_TRAIN=1
-benches the full fused GAN training step instead (one JSON line,
-metric ``train_throughput`` in audio-seconds trained per second).
+batch-16 amortized throughput), AERO_BENCH_ITERS (default 5 inference /
+8 train), plus any config override args (e.g. ``precision=float32``).
+AERO_BENCH_TRAIN=1 benches the full fused GAN training step instead
+(one JSON line, metric ``train_throughput`` in audio-seconds trained
+per second).
 """
 
 from __future__ import annotations
@@ -131,7 +132,9 @@ def main():
     # bfloat16 is the production TPU serving precision (f32 islands keep
     # STFT/normalization exact; forward stays within ~1% of f32 — see
     # tests/test_precision.py). Override with precision=float32.
-    args = load_config("conf", "main_config",
+    conf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "conf")  # cwd-independent, like the CLIs
+    args = load_config(conf_dir, "main_config",
                        ["experiment=aero_4-16_512_64", "dset=4-16",
                         "precision=bfloat16"] + overrides)
     if os.environ.get("AERO_BENCH_TRAIN", "0") == "1":

@@ -82,6 +82,12 @@ size_t NextPow2(size_t n) {
 int64_t BestLag(const std::vector<float>& ref, const std::vector<float>& deg,
                 int64_t max_lag) {
   size_t n = std::max(ref.size(), deg.size());
+  // The true cross-correlation is zero past n-1; clamping also keeps
+  // every probed index inside the FFT buffer (lags beyond n-1 with
+  // short inputs read out of bounds / alias negative lags onto
+  // forward-lag bins: m = NextPow2(2n) only separates +-(n-1)).
+  max_lag = std::min<int64_t>(max_lag, (int64_t)n - 1);
+  if (max_lag < 0) return 0;
   size_t m = NextPow2(2 * n);
   std::vector<std::complex<double>> fr(m), fd(m);
   for (size_t i = 0; i < ref.size(); ++i) fr[i] = ref[i];
@@ -478,7 +484,13 @@ int main(int argc, char** argv) {
   std::vector<double> fvnsim(n_bands, 0.0);
   double nsim = 0.0;
   if (pairs.empty()) {
-    nsim = 0.0;
+    // official ViSQOL errors when no patches can be created (< 0.6 s of
+    // frames); exit nonzero so metrics.get_visqol returns 0 and the
+    // file is EXCLUDED from averages (reference evaluate.py:121-122)
+    // instead of contributing a floor MOS.
+    fprintf(stderr, "error: no patches could be created (input too "
+            "short: %d frames < %d)\n", (int)sr_[0].size(), kPatchSize);
+    return 1;
   } else {
     for (auto const& p : pairs) {
       NsimResult res =

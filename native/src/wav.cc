@@ -35,6 +35,11 @@ bool ParseHeader(FILE* f, int* sample_rate, int* channels, int* bits,
     if (fread(hdr, 1, 8, f) != 8) break;
     uint32_t size = ReadU32(hdr + 4);
     if (memcmp(hdr, "fmt ", 4) == 0) {
+      // PCM fmt needs >= 16 bytes (we read offsets 0..15); a corrupt
+      // declared size must neither under-fill the reads below nor
+      // trigger a multi-GB allocation whose bad_alloc would escape the
+      // extern "C" ABI into the ctypes caller.
+      if (size < 16 || size > (1u << 16)) return false;
       std::vector<uint8_t> body(size);
       if (fread(body.data(), 1, size, f) != size) return false;
       *audio_format = ReadU16(body.data());

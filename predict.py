@@ -74,9 +74,12 @@ def main():
                                mesh=mesh)
 
     x = lr_sig[None]  # [1, C, T]
-    # warmup/compile outside the timed region reflects steady-state serving
+    # warmup/compile outside the timed region reflects steady-state
+    # serving. Must run the FULL input once: the batched multi-chunk
+    # forward and the ragged-tail bucket are separate jit shapes — a
+    # single-chunk warmup would leave their compiles inside the timing.
     if bool(args.get("predict_warmup", True)):
-        _ = chunked(x[..., :min(x.shape[-1], sr * SEGMENT_DURATION_SEC)])
+        _ = chunked(x)
 
     pred_start = time.time()
     pr = chunked(x)[0]

@@ -151,3 +151,46 @@ def test_loader_worker_pool_order_and_throughput():
     # 32 items * 10 ms = 320 ms serial; 4 workers should land well under
     # half that even with thread overhead
     assert pool_dt < serial_dt / 2, (pool_dt, serial_dt)
+
+
+def test_prhrset_exact_stem_filter(tmp_path):
+    """PrHrSet(filenames=...) must match stems EXACTLY: a stem that is a
+    prefix of another ('f_1' vs 'f_12') must not pull the other file's
+    triples into the set (the reference's substring filter does —
+    datasets.py:61 — which double-counts across ranks sharing a samples
+    dir)."""
+    from aero_tpu.data.datasets import PrHrSet
+
+    sdir = str(tmp_path)
+    rng = np.random.default_rng(0)
+    for stem, n in (("f_1", 800), ("f_12", 900)):
+        for kind in ("lr", "hr", "pr"):
+            x = (0.1 * rng.standard_normal((1, n))).astype(np.float32)
+            audio_io.save(os.path.join(sdir, f"{stem}_{kind}.wav"), x, 16000)
+
+    only_one = PrHrSet(sdir, filenames=["f_1"])
+    assert len(only_one) == 1
+    *_, name = only_one[0]
+    assert name == "f_1"
+
+    both = PrHrSet(sdir, filenames=["f_1", "f_12"])
+    assert len(both) == 2
+
+
+def test_truncated_wav_returns_short_read(tmp_path):
+    """A file truncated mid-frame (header's data_size > bytes present)
+    must return the complete frames that exist — same contract as the
+    native codec — not crash the loader worker on a ragged buffer."""
+    p = str(tmp_path / "t.wav")
+    x = (0.25 * np.sin(np.arange(1000) / 10.0)).astype(np.float32)
+    audio_io.save(p, np.stack([x, -x]), 16000)  # stereo 16-bit: bpf=4
+    full = os.path.getsize(p)
+    with open(p, "rb") as f:
+        blob = f.read(full - 3)  # drop 3 bytes: partial final frame
+    with open(p, "wb") as f:
+        f.write(blob)
+
+    y, sr = audio_io.load(p)
+    assert sr == 16000
+    assert y.shape == (2, 999)  # 999 complete frames survive
+    np.testing.assert_allclose(y[0], x[:999], atol=1.0 / 32768)

@@ -106,3 +106,41 @@ def test_mesh_sharded_chunked_matches_single_device():
     y1 = sharded(x)
     assert y0.shape == y1.shape == (1, 1, 34400 * 4)
     np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=2e-5)
+
+
+def test_mesh_sharded_chunked_short_file_pads_to_device_count():
+    """A file with FEWER full chunks than devices must still shard:
+    the chunk batch wraps around to a device-count multiple (a plain
+    stack[:pad] under-pads when pad > n_chunks, which silently fell
+    back to single-device execution)."""
+    from aero_tpu.parallel import mesh as pmesh
+
+    gen = Aero(**KW)
+    rng = np.random.default_rng(3)
+    # 3.4 s at 4 kHz -> 3 full 1 s chunks (< 8 devices) + tail
+    x = (0.1 * rng.standard_normal((1, 1, 13600))).astype(np.float32)
+    state = _state(gen, jnp.asarray(x[..., :4000]))
+
+    plain = ChunkedInference(
+        EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5),
+        sr=4000, segment_s=1.0, batch_chunks=True)
+
+    mesh = pmesh.make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    ef = EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5,
+                     mesh=mesh)
+    batch_sizes = []
+
+    def recording_forward(inp):
+        batch_sizes.append(inp.shape[0])
+        return ef(inp)
+
+    sharded = ChunkedInference(recording_forward, sr=4000, segment_s=1.0,
+                               batch_chunks=True, mesh=mesh)
+    y1 = sharded(x)
+    y0 = plain(x)
+    # the full-chunk batch was padded up to the device count (sharded),
+    # not left at 3 (single-device fallback)
+    assert n_dev in batch_sizes, batch_sizes
+    assert y0.shape == y1.shape == (1, 1, 13600 * 4)
+    np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=2e-5)

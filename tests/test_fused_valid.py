@@ -164,3 +164,19 @@ def test_one_compile_per_bucket(setup):
         fused(state, jnp.asarray(lr_b), jnp.asarray(hr_b),
               jnp.asarray(n_hr, jnp.int32), jnp.asarray(n_lr * 4, jnp.int32))
     assert fused._cache_size() == 1
+
+
+def test_hifi_family_routes_to_split_path(setup):
+    """hifi-family valid losses are unmasked means over zero-masked
+    PADDED signals — their values depend on the padded length, and the
+    fused and split paths pad differently. The fused path must decline
+    those configs so every file takes the (self-consistent) split path."""
+    args, models, _ = setup
+    for discs in (["msd_hifi"], ["mpd"], ["hifi"], ["msd_melgan", "hifi"]):
+        args_h = _args()
+        args_h.experiment.discriminator_models = discs
+        stub = _stub(args_h, models)
+        assert Solver._fused_valid_shapes(stub, 1975, 7900)[2] is False, discs
+    # pure melgan (per-layer masked, padding-invariant) still fuses
+    stub = _stub(_args(), models)
+    assert Solver._fused_valid_shapes(stub, 1975, 7900)[2] is True

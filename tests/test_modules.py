@@ -242,3 +242,43 @@ def test_grouped_conv_dense_lowering_matches_grouped():
         g_d = jax.grad(loss)(w, True)
         np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_g),
                                    rtol=1e-4, atol=3e-4)
+
+
+def test_rescale_tree_exempts_decoder_conv_tr():
+    """rescale_module targets ONLY nn.Conv1d/ConvTranspose1d (reference
+    aero.py:25-28); the decoder's conv_tr mirrors nn.ConvTranspose2d
+    (exempt) even though its kernel is stored rank-3, while dconv-branch
+    Conv1d kernels (and FTB's conv1d) must be rescaled."""
+    from aero_tpu.models.init import rescale_tree
+
+    rng = np.random.default_rng(0)
+    k_tr = (5 * rng.standard_normal((8, 16, 4))).astype(np.float32)
+    k_c1 = (5 * rng.standard_normal((3, 16, 16))).astype(np.float32)
+    k_ftb = (5 * rng.standard_normal((9, 80, 16))).astype(np.float32)
+    params = {
+        "decoder_0": {
+            "conv_tr": {"kernel": k_tr, "bias": np.ones(4, np.float32)},
+            "dconv": {"layers_0_conv1": {"conv": {
+                "kernel": k_c1, "bias": np.ones(16, np.float32)}}},
+        },
+        "encoder_0": {"freq_attn_block": {"conv1d": {"conv": {
+            "kernel": k_ftb, "bias": np.ones(16, np.float32)}}}},
+    }
+    out = rescale_tree(params, 0.1)
+    # ConvTranspose2d-equivalent: untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["decoder_0"]["conv_tr"]["kernel"]), k_tr)
+    np.testing.assert_array_equal(
+        np.asarray(out["decoder_0"]["conv_tr"]["bias"]),
+        np.ones(4, np.float32))
+    # Conv1d-equivalents: kernel AND bias divided by sqrt(std/ref)
+    for got, k in ((out["decoder_0"]["dconv"]["layers_0_conv1"]["conv"],
+                    k_c1),
+                   (out["encoder_0"]["freq_attn_block"]["conv1d"]["conv"],
+                    k_ftb)):
+        scale = np.sqrt(k.std() / 0.1)
+        np.testing.assert_allclose(np.asarray(got["kernel"]), k / scale,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["bias"]),
+                                   np.ones_like(got["bias"]) / scale,
+                                   rtol=1e-5)

@@ -233,3 +233,54 @@ def test_visqol_divergence_matrix(tmp_path):
         for sec in (0.05, 0.13):
             s = _run_visqol(sig, shift(ladder[0], sec), tmp_path)
             assert abs(s - base) <= 0.05, (name, sec, s, base)
+
+
+def test_visqol_short_input_no_crash(tmp_path):
+    """Inputs shorter than the +-1 s alignment search window: the lag
+    search must clamp to the signal length (it once read past the FFT
+    buffer / aliased negative lags for sub-second files). Sub-patch
+    (< 0.6 s) inputs fail CLEANLY (nonzero exit, like official ViSQOL's
+    'no patches' error -> excluded from averages), never crash."""
+    sr = 16000
+    t = np.arange(int(0.3 * sr)) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    rp, dp = str(tmp_path / "r.wav"), str(tmp_path / "d.wav")
+    audio_io.save(rp, sig, sr)
+    audio_io.save(dp, sig, sr)
+    proc = subprocess.run(
+        f"cd {NATIVE}; ./bazel-bin/visqol --reference_file {rp} "
+        f"--degraded_file {dp} --use_speech_mode", shell=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    assert proc.returncode == 1, (proc.returncode, proc.stderr)
+    assert b"too short" in proc.stderr or b"no patches" in proc.stderr
+
+    # 0.8 s (>= one patch) scores, and a slightly offset pair aligns
+    t = np.arange(int(0.8 * sr)) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)[None]
+    s = _run_visqol(sig, sig, tmp_path)
+    assert np.isfinite(s) and s >= 4.3, s
+    off = np.concatenate([np.zeros((1, 160), np.float32), sig], axis=-1)
+    s2 = _run_visqol(sig, off[:, :sig.shape[-1]], tmp_path)
+    assert np.isfinite(s2) and 1.0 <= s2 <= 5.0, s2
+
+
+def test_corrupt_fmt_chunk_rejected(tmp_path):
+    """A WAV whose fmt chunk declares size < 16 must fail cleanly in
+    BOTH codecs (native once read the body vector out of bounds)."""
+    from aero_tpu.data import native_io
+
+    p = str(tmp_path / "corrupt.wav")
+    # RIFF/WAVE with an 8-byte fmt chunk and an empty data chunk
+    fmt_body = b"\x01\x00\x01\x00\x40\x1f\x00\x00"  # 8 bytes only
+    payload = (b"fmt " + (8).to_bytes(4, "little") + fmt_body
+               + b"data" + (0).to_bytes(4, "little"))
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WAVE")
+        f.write(payload)
+
+    with pytest.raises(ValueError):
+        audio_io.info(p)
+    if native_io.available():
+        with pytest.raises(IOError):
+            native_io.info(p)

@@ -99,3 +99,69 @@ def test_hifi_joint_config_step():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      state.disc_params, new_state.disc_params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_hifi_combined_with_melgan_keeps_both_disc_losses():
+    """Reference semantics (solver.py:443-468, 607-612): EVERY entry in
+    discriminator_models contributes its own discriminator loss and all
+    of them are summed for the disc update — combining 'hifi' with
+    'msd_melgan' must not drop the melgan loss (a dict overwrite once
+    did, silently freezing the melgan discriminator)."""
+    args = hifi_args()
+    args.experiment.discriminator_models = ["msd_melgan", "hifi"]
+    args.experiment.melgan_discriminator = Config._wrap(dict(
+        num_D=2, ndf=4, n_layers=2, downsampling_factor=4))
+    args.experiment.mel_spectrogram = Config._wrap(dict(
+        n_fft=512, hop_length=128, win_length=512, n_mels=32))
+    args.experiment.mel_spec_loss_lambda = 45
+
+    models = build.build_models(args)
+    assert set(models) == {"generator", "msd_melgan", "mpd", "msd_hifi"}
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    step = make_train_step(args, models, mesh=None, donate=False)
+
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(0.1 * rng.standard_normal(lr_shape), jnp.float32)
+    hr = jnp.asarray(0.1 * rng.standard_normal(hr_shape), jnp.float32)
+    new_state, metrics = step(state, lr, hr)
+    metrics = jax.tree.map(float, metrics)
+    for key in ("discriminator_msd_melgan", "discriminator_hifi",
+                "generator_adversarial_melgan", "generator_adversarial_hifi"):
+        assert key in metrics and np.isfinite(metrics[key]), (key, metrics)
+
+    # the melgan discriminator actually trains (nonzero param delta)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.disc_params["msd_melgan"],
+                     new_state.disc_params["msd_melgan"])
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_msd_hifi_combined_with_hifi_double_counts_like_reference():
+    """'msd_hifi' + 'hifi' together: the shared MSD loss appears under
+    'msd' AND inside 'hifi' (reference computes it twice and sums both,
+    solver.py:449-468)."""
+    args = hifi_args()
+    args.experiment.discriminator_models = ["msd_hifi", "hifi"]
+    args.experiment.mel_spectrogram = Config._wrap(dict(
+        n_fft=512, hop_length=128, win_length=512, n_mels=32))
+    args.experiment.mel_spec_loss_lambda = 45
+
+    models = build.build_models(args)
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    step = make_train_step(args, models, mesh=None, donate=False)
+
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(0.1 * rng.standard_normal(lr_shape), jnp.float32)
+    hr = jnp.asarray(0.1 * rng.standard_normal(hr_shape), jnp.float32)
+    _, metrics = step(state, lr, hr)
+    metrics = jax.tree.map(float, metrics)
+    assert "discriminator_msd" in metrics, metrics
+    assert "discriminator_hifi" in metrics, metrics
+    # hifi total = shared msd loss + mpd loss >= the standalone msd loss
+    assert metrics["discriminator_hifi"] >= metrics["discriminator_msd"] - 1e-6
