@@ -17,40 +17,87 @@ HBM cost of the whole model for long inputs.
 
 Training uses a ``custom_vjp``: the backward is a flash-style Pallas
 kernel as well (recompute-p over query blocks, dk/dv accumulated in
-VMEM) so train-time peak memory is O(T*C) like the forward — the dense
-T x T graph is only used as a fallback for shapes the kernel does not
-cover (tiny T, nfreqs).
+VMEM) so train-time peak memory is O(T*C) like the forward. Beyond the
+kernels' VMEM limits (``MAX_PALLAS_T`` forward, 2048 backward) both
+directions fall back to ``blockwise_attention`` — a checkpointed
+query-block scan whose forward AND vjp stay O(T * block) — never to a
+dense T x T graph.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 
-import numpy as np
-
 from aero_tpu.ops.util import round_up
 
 _INTERPRET = False  # flipped by tests on CPU
+
+# Both Pallas forward variants stage full [T_pad, 128] K/V rows in VMEM
+# (the gridded path's block_k only tiles the score loop, NOT the K/V
+# staging) — ~1 MB per 2048 rows f32, x2 for K+V, x2 double-buffering.
+# 4096 keeps the staging under ~4 MB of the ~16 MB VMEM.
+MAX_PALLAS_T = 4096
 
 
 def reference_attention(q, k, content, decay_w):
     """Dense JAX reference. q pre-scaled by 1/sqrt(C').
 
     q/k/content: [B, T, H, C']; decay_w: [B, T, H] (per query).
-    Returns [B, T, H, C'].
+    Returns [B, T, H, C']. Scores/softmax in f32 (parity with the
+    kernels and ``_attend_block`` under bfloat16 compute).
     """
     b, t, h, c = q.shape
-    scores = jnp.einsum("bthc,bshc->bhts", k, q)
+    scores = jnp.einsum("bthc,bshc->bhts", k, q,
+                        preferred_element_type=jnp.float32)
     idx = jnp.arange(t, dtype=scores.dtype)
     delta = jnp.abs(idx[:, None] - idx[None, :])  # [t, s]
-    scores = scores - delta[None, None] * decay_w.transpose(0, 2, 1)[:, :, None, :]
+    scores = scores - delta[None, None] * (
+        decay_w.transpose(0, 2, 1)[:, :, None, :].astype(scores.dtype))
     scores = jnp.where(jnp.eye(t, dtype=bool)[None, None], -100.0, scores)
     weights = jax.nn.softmax(scores, axis=2)
-    return jnp.einsum("bhts,bthc->bshc", weights, content)
+    return jnp.einsum("bhts,bthc->bshc", weights.astype(content.dtype),
+                      content)
+
+
+def blockwise_attention(q, k, content, decay_w, block_q: int = 512):
+    """Query-block scan with ``jax.checkpoint`` per block: forward peak
+    memory O(B*H*T*block_q) and — because the block scores are
+    recomputed in the backward — the SAME bound under autodiff. The
+    memory-safe fallback for T beyond the Pallas kernels' VMEM limits.
+    """
+    b, t, h, c = q.shape
+    n_blocks = -(-t // block_q)
+    pad = n_blocks * block_q - t
+    q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    w_p = jnp.pad(decay_w, ((0, 0), (0, pad), (0, 0)))
+    q_blocks = q_p.reshape(b, n_blocks, block_q, h, c).transpose(1, 0, 2, 3, 4)
+    w_blocks = w_p.reshape(b, n_blocks, block_q, h).transpose(1, 0, 2, 3)
+    s_blocks = jnp.arange(n_blocks * block_q).reshape(n_blocks, block_q)
+    t_idx = jnp.arange(t, dtype=jnp.float32)
+
+    @jax.checkpoint
+    def block(qb, wb, sb):
+        scores = jnp.einsum("bthc,bshc->bhts", k, qb,
+                            preferred_element_type=jnp.float32)
+        delta = jnp.abs(t_idx[:, None] - sb[None, :].astype(jnp.float32))
+        scores = scores - delta[None, None] * (
+            wb.transpose(0, 2, 1)[:, :, None, :].astype(scores.dtype))
+        self_mask = t_idx[:, None] == sb[None, :].astype(jnp.float32)
+        scores = jnp.where(self_mask[None, None], -100.0, scores)
+        weights = jax.nn.softmax(scores, axis=2)
+        return jnp.einsum("bhts,bthc->bshc", weights.astype(content.dtype),
+                          content)
+
+    def body(_, args):
+        qb, wb, sb = args
+        return None, block(qb, wb, sb)
+
+    _, out = jax.lax.scan(body, None, (q_blocks, w_blocks, s_blocks))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * block_q, h, c)
+    return out[:, :t]
 
 
 def _pallas_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, block_k: int,
@@ -157,14 +204,20 @@ def _pallas_kernel_resident(q_ref, k_ref, v_ref, w_ref, o_ref, *,
 def pallas_attention(q, k, content, decay_w, block_q: int = 128,
                      block_k: int | None = None):
     """Pallas flash local attention. Shapes as reference_attention.
+    Requires t <= MAX_PALLAS_T (both variants stage full K/V rows in
+    VMEM); ``fused_local_attention`` routes longer T to
+    ``blockwise_attention``.
 
     Block sizes tuned on v5e: a single whole-T key block (K/V resident
     in VMEM, no online-softmax loop carry) is ~20% faster than looped
-    512/1024 blocks for T <= ~3k; beyond that cap at 2048 to bound VMEM.
-    block_q=128 measured ~10% faster than 256/512 at the model's enc2
-    shapes (T~2.5k, C'=12).
+    512/1024 blocks for T <= ~3k; beyond that the score loop tiles at
+    block_k=2048. block_q=128 measured ~10% faster than 256/512 at the
+    model's enc2 shapes (T~2.5k, C'=12).
     """
     b, t, h, c = q.shape
+    assert t <= MAX_PALLAS_T, (
+        f"pallas_attention stages full K/V rows in VMEM; T={t} > "
+        f"{MAX_PALLAS_T} must go through blockwise_attention")
     if block_k is None:
         block_k = round_up(t, 256) if t <= 3072 else 2048
     t_q = round_up(t, block_q)
@@ -337,13 +390,19 @@ def pallas_attention_bwd(q, k, content, decay_w, out, g, block_q: int = 256):
     return unfold(dq), unfold(dk), unfold(dv), jnp.moveaxis(dwu, 1, 2)
 
 
+def _fla_primal(q, k, content, decay_w):
+    if q.shape[1] <= MAX_PALLAS_T:
+        return pallas_attention(q, k, content, decay_w)
+    return blockwise_attention(q, k, content, decay_w)
+
+
 @jax.custom_vjp
 def fused_local_attention(q, k, content, decay_w):
-    return pallas_attention(q, k, content, decay_w)
+    return _fla_primal(q, k, content, decay_w)
 
 
 def _fla_fwd(q, k, content, decay_w):
-    out = pallas_attention(q, k, content, decay_w)
+    out = _fla_primal(q, k, content, decay_w)
     return out, (q, k, content, decay_w, out)
 
 
@@ -359,8 +418,10 @@ def _fla_bwd(res, g):
     # headroom for pipelining.
     if t <= 2048:  # resident accumulators fit VMEM
         return pallas_attention_bwd(q, k, content, decay_w, out, g)
-    # dense fallback (recomputed reference graph) for very long sequences
-    _, vjp = jax.vjp(reference_attention, q, k, content, decay_w)
+    # memory-bounded fallback: checkpointed query-block scan, NOT the
+    # dense T x T graph (which materializes [B*H, T, T] activations —
+    # tens of GB at eval-length T)
+    _, vjp = jax.vjp(blockwise_attention, q, k, content, decay_w)
     return vjp(g)
 
 
@@ -368,10 +429,6 @@ fused_local_attention.defvjp(_fla_fwd, _fla_bwd)
 
 
 def pallas_available() -> bool:
-    if not _HAS_PALLAS:
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon") or _INTERPRET
+    from aero_tpu.ops.util import pallas_platform_ok
+
+    return pallas_platform_ok(_HAS_PALLAS, _INTERPRET)

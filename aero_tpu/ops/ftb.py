@@ -101,9 +101,9 @@ def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64):
 def pallas_available() -> bool:
     import os
 
-    if not _HAS_PALLAS:
-        return False
-    if _INTERPRET:
+    from aero_tpu.ops.util import pallas_platform_ok
+
+    if _INTERPRET and _HAS_PALLAS:
         return True
     # Opt-in until a Mosaic-compilable formulation lands: both the
     # lane-merge reshape ([F,Tb,C] -> [F,Tb*C]) and the 3-D-rhs dot
@@ -111,8 +111,4 @@ def pallas_available() -> bool:
     # Mosaic on real TPU ("unsupported shape cast").
     if os.environ.get("AERO_FTB_KERNEL", "0") != "1":
         return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon")
+    return pallas_platform_ok(_HAS_PALLAS, _INTERPRET)

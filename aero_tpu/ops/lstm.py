@@ -139,8 +139,13 @@ def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
     """
     t, gh, b = xp.shape
     assert gh == 8 * hidden and hidden % 8 == 0 and 2 * hidden <= 512
-    bb = min(block_b, round_up(b, _LANE))
-    b_pad = round_up(b, bb)
+    # equalized lane-aligned blocks: round_up(b, bb) with bb=block_b
+    # nearly DOUBLES the work when b is just above a block_b multiple
+    # (b=4097 -> pad to 8192); splitting b evenly over ceil(b/block_b)
+    # blocks bounds padding at one lane-round per block (4097 -> 4352)
+    n_blocks = max(1, -(-b // block_b))
+    bb = round_up(-(-b // n_blocks), _LANE)
+    b_pad = n_blocks * bb
     if b_pad != b:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, b_pad - b)))
 
@@ -173,9 +178,9 @@ def lstm_time_scan(xp, w_hh_packed, hidden: int, block_b: int = 4096):
 def pallas_available() -> bool:
     import os
 
-    if not _HAS_PALLAS:
-        return False
-    if _INTERPRET:  # test mode: parity-check the kernel on CPU
+    from aero_tpu.ops.util import pallas_platform_ok
+
+    if _INTERPRET and _HAS_PALLAS:  # test mode: parity-check on CPU
         return True
     # OFF by default: the XLA scan measures FASTER end-to-end than every
     # kernel iteration so far (pipelined bf16 B=16 bench: scan 567.6x vs
@@ -184,8 +189,4 @@ def pallas_available() -> bool:
     # input projection is one big GEMM; kernel kept for future work.
     if os.environ.get("AERO_LSTM_KERNEL", "0") != "1":
         return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon")
+    return pallas_platform_ok(_HAS_PALLAS, _INTERPRET)

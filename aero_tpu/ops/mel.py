@@ -50,6 +50,12 @@ def mel_spectrogram(x, sample_rate: int, n_fft: int = 400,
     hop_length = hop_length or win_length // 2
     z = stft(x, n_fft, hop_length, win_length, normalized=False,
              center=True, pad_mode="reflect")
-    spec = jnp.abs(z) ** power  # [..., freqs, frames]
+    if power == 2.0:
+        # |z|^2 directly: abs() computes a sqrt the square would undo
+        # (hifi-loss hot path — runs twice per train step); matches
+        # losses/stft_loss.py's re^2+im^2 form
+        spec = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+    else:
+        spec = jnp.abs(z) ** power  # [..., freqs, frames]
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max))
     return jnp.einsum("...ft,fm->...mt", spec, fb)

@@ -120,20 +120,27 @@ def _framed_analysis(x, n_fft: int, hop_length: int, win_length: int,
 
 
 def _framed_analysis_fwd(x, n_fft, hop_length, win_length, normalized):
+    # residuals must be JAX types: carry the primal dtype in a
+    # zero-sized array (a raw np.dtype is rejected by the tracer)
     return (_framed_analysis(x, n_fft, hop_length, win_length, normalized),
-            x.shape[-1])
+            (x.shape[-1], jnp.zeros((0,), x.dtype)))
 
 
 def _framed_analysis_bwd(n_fft, hop_length, win_length, normalized,
-                         padded_len, g):
+                         res, g):
     # dx[m] = sum_{c,k} g[c,k] * basis[c, m - k*hop]: one GEMM into
     # per-frame gradients, then overlap-add (reshape fast path).
+    padded_len, dtype_carrier = res
+    x_dtype = dtype_carrier.dtype
     basis = jnp.asarray(_analysis_basis(n_fft, win_length, normalized))
     gf = jnp.einsum("bck,cn->bkn", g.astype(jnp.float32), basis)
     dx = _overlap_add(gf, hop_length)
     if dx.shape[-1] < padded_len:
         dx = jnp.pad(dx, ((0, 0), (0, padded_len - dx.shape[-1])))
-    return (dx,)
+    # custom_vjp contract: cotangent dtype must match the primal input
+    # (a bf16 signal differentiated through stft/mel would otherwise
+    # TypeError at trace time — the math above stays f32)
+    return (dx.astype(x_dtype),)
 
 
 _framed_analysis.defvjp(_framed_analysis_fwd, _framed_analysis_bwd)

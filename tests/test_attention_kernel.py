@@ -81,3 +81,81 @@ def test_pallas_backward_kernel_exact():
         a, b = np.asarray(a), np.asarray(b)
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
         assert err < 1e-5, f"d{name} rel err {err}"
+
+
+def test_gridded_kernel_matches_reference():
+    """Unequal q/k blocks force the GRIDDED online-softmax kernel
+    (t_q != t_k routes past the resident gate) — the production path on
+    TPU whenever round_up(t,128) != round_up(t,256), e.g. t=2400."""
+    q, k, v, w = _inputs(t=300)
+    want = np.asarray(attn.reference_attention(q, k, v, w))
+    got = np.asarray(attn.pallas_attention(q, k, v, w, block_q=64,
+                                           block_k=128))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # default block choice at a t where t_q != t_k (the real-model case)
+    q, k, v, w = _inputs(b=1, t=2400, h=1, seed=3)
+    want = np.asarray(attn.reference_attention(q, k, v, w))
+    got = np.asarray(attn.pallas_attention(q, k, v, w))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_blockwise_attention_matches_reference_values_and_grads():
+    """The memory-bounded fallback (checkpointed query-block scan) used
+    beyond the Pallas kernels' VMEM limits."""
+    q, k, v, w = _inputs(t=137)
+
+    want = np.asarray(attn.reference_attention(q, k, v, w))
+    got = np.asarray(attn.blockwise_attention(q, k, v, w, block_q=64))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def loss_blk(args):
+        return jnp.sum(attn.blockwise_attention(*args, block_q=64) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(attn.reference_attention(*args) ** 2)
+
+    g_blk = jax.grad(loss_blk)((q, k, v, w))
+    g_ref = jax.grad(loss_ref)((q, k, v, w))
+    for a, b in zip(g_blk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_long_t_routes_to_blockwise():
+    """T > MAX_PALLAS_T: fused_local_attention must run the blockwise
+    fallback forward AND backward (the Pallas kernels would blow VMEM;
+    a dense T x T vjp would blow HBM at eval lengths)."""
+    t = attn.MAX_PALLAS_T + 64
+    q, k, v, w = _inputs(b=1, t=t, h=1, seed=5)
+
+    want = np.asarray(attn.reference_attention(q, k, v, w))
+    got = np.asarray(attn.fused_local_attention(q, k, v, w))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def loss_fused(args):
+        return jnp.sum(attn.fused_local_attention(*args) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(attn.reference_attention(*args) ** 2)
+
+    g_fused = jax.grad(loss_fused)((q, k, v, w))
+    g_ref = jax.grad(loss_ref)((q, k, v, w))
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_bwd_mid_t_uses_blockwise_fallback():
+    """2048 < T <= MAX_PALLAS_T: Pallas forward, blockwise-checkpoint
+    backward (the Pallas bwd VMEM gate) — gradients must still match."""
+    q, k, v, w = _inputs(b=1, t=2100, h=1, seed=7)
+
+    def loss_fused(args):
+        return jnp.sum(attn.fused_local_attention(*args) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(attn.reference_attention(*args) ** 2)
+
+    g_fused = jax.grad(loss_fused)((q, k, v, w))
+    g_ref = jax.grad(loss_ref)((q, k, v, w))
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -83,3 +83,23 @@ def test_lstm_wide_hidden_per_direction_path():
     want = m.apply(v, x, train=True)
     got = m.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_lstm_time_scan_equalized_blocks():
+    """b just above a block_b multiple: blocks are equalized (padding
+    bounded at one lane-round per block, not a full extra block) and the
+    result matches a single-block run."""
+    from aero_tpu.ops.lstm import lstm_time_scan, pack_weights
+
+    rng = np.random.default_rng(3)
+    hidden, t, b = 8, 5, 520
+    xp = jnp.asarray(0.2 * rng.standard_normal(
+        (t, 8 * hidden, b)).astype(np.float32))
+    w_f = 0.2 * rng.standard_normal((hidden, 4 * hidden)).astype(np.float32)
+    w_b = 0.2 * rng.standard_normal((hidden, 4 * hidden)).astype(np.float32)
+    w = pack_weights(jnp.asarray(w_f), jnp.asarray(w_b), hidden)
+
+    one_block = lstm_time_scan(xp, w, hidden, block_b=4096)
+    multi = lstm_time_scan(xp, w, hidden, block_b=512)  # 2 blocks of 384
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(one_block),
+                               atol=1e-6)
