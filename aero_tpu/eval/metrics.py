@@ -25,6 +25,41 @@ logger = logging.getLogger(__name__)
 
 VISQOL_MIN_DURATION = 0.48
 
+# Scorer version stamp of the most recent successful ViSQOL run in this
+# process. MOS numbers are only comparable within one stamp (the round-1
+# "aero-native v1" calibration is NOT comparable with v2); the solver
+# records this next to every history.json entry that carries a visqol
+# value. "external" = a scorer that prints no VISQOL-COMPAT line (e.g.
+# the official google/visqol binary dropped in via ``visqol_path``).
+_scorer_version: str | None = None
+
+
+def visqol_scorer_version() -> str | None:
+    """Version stamp parsed from the scorer's last successful run."""
+    return _scorer_version
+
+
+def probe_scorer_version(visqol_path: str) -> str:
+    """Ask the scorer CLI for its version stamp without scoring anything.
+
+    First-party scorers answer ``--version`` with a ``VISQOL-COMPAT:``
+    line; anything else (including the official binary) is reported as
+    ``external``."""
+    try:
+        proc = subprocess.run(
+            f"cd {visqol_path}; ./bazel-bin/visqol --version", shell=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=30)
+        return _parse_scorer_version(proc.stdout.decode("utf-8"))
+    except Exception:  # noqa: BLE001 - probing must never break eval
+        return "external"
+
+
+def _parse_scorer_version(stdout: str) -> str:
+    for line in stdout.splitlines():
+        if line.startswith("VISQOL-COMPAT:"):
+            return line.split(":", 1)[1].strip()
+    return "external"
+
 
 def stft_mag_np(x: np.ndarray, nfft: int = 2048, hop: int = 512) -> np.ndarray:
     """|STFT| with Hann(nfft), center-reflect, not normalized — matches
@@ -82,8 +117,11 @@ def get_visqol(ref_sig: np.ndarray, out_sig: np.ndarray, filename: str,
             cmd += "--use_speech_mode"
         proc = subprocess.run(cmd, shell=True, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
-        value = proc.stdout.decode("utf-8").split("\t")[-1].replace("\n", "")
+        stdout = proc.stdout.decode("utf-8")
+        value = stdout.split("\t")[-1].replace("\n", "")
         visqol = float(value)
+        global _scorer_version
+        _scorer_version = _parse_scorer_version(stdout)
     except Exception as e:  # noqa: BLE001 - reference swallows everything
         logger.info(f"failed to get visqol of {filename}: {e}")
         return 0.0

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aero_tpu.data.datasets import PrHrSet, match_signal
+from aero_tpu.eval import metrics as eval_metrics
 from aero_tpu.eval.enhance import save_specs, save_wavs
 from aero_tpu.eval.evaluate import evaluate, evaluate_on_saved_data
 from aero_tpu.eval.forward import EvalForward
@@ -48,6 +49,10 @@ def _has_data(loader) -> bool:
     return loader is not None and len(loader.dataset) > 0
 METRICS_KEY_LSD = "Average lsd"
 METRICS_KEY_VISQOL = "Average visqol"
+# ViSQOL MOS values are only comparable within one scorer calibration;
+# every history entry carrying a visqol value records the scorer stamp
+# (parsed from the CLI's VISQOL-COMPAT line, eval/metrics.py).
+METRICS_KEY_VISQOL_SCORER = "visqol_scorer"
 
 
 class Solver:
@@ -336,8 +341,9 @@ class Solver:
         if self.history:
             logger.info("Replaying metrics from previous run")
         for epoch, metrics in enumerate(self.history):
-            info = " ".join(f"{k.capitalize()}={v:.5f}"
-                            for k, v in metrics.items())
+            info = " ".join(
+                f"{k.capitalize()}={v:.5f}" if isinstance(v, (int, float))
+                else f"{k.capitalize()}={v}" for k, v in metrics.items())
             logger.info(f"Epoch {epoch + 1}: {info}")
 
         logger.info("-" * 70)
@@ -453,14 +459,21 @@ class Solver:
                     f"Evaluation Time {time.time() - eval_start:.2f}s"))
                 metrics[METRICS_KEY_LSD] = lsd
                 metrics[METRICS_KEY_VISQOL] = visqol
+                if visqol:
+                    # MOS values are only comparable within one scorer
+                    # calibration — stamp every history entry that
+                    # carries one (VERDICT r3 §weak-4).
+                    metrics[METRICS_KEY_VISQOL_SCORER] = (
+                        eval_metrics.visqol_scorer_version() or "unknown")
                 if swapped:
                     self.eval_forward.update_state(
                         pmesh.local_state(self.state))
 
             wandb_logger.log_metrics(metrics, step=epoch)
             self.history.append(metrics)
-            info = " | ".join(f"{k.capitalize()} {v:.5f}"
-                              for k, v in metrics.items())
+            info = " | ".join(
+                f"{k.capitalize()} {v:.5f}" if isinstance(v, (int, float))
+                else f"{k.capitalize()} {v}" for k, v in metrics.items())
             logger.info("-" * 70)
             logger.info(bold(f"Overall Summary | Epoch {epoch + 1} | {info}"))
 

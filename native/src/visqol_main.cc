@@ -43,6 +43,16 @@
 
 namespace {
 
+// Scorer version stamp. MOS values are only comparable within one stamp:
+// any change to the pipeline or the NSIM->MOS coefficients MUST bump this.
+// History: aero-native v1 = round-1 NSIM-only scorer (retired; its MOS
+// values are NOT comparable with v2); aero-native v2 = full ViSQOL-v3
+// pipeline port (alignment/gammatone/patch-DP/NSIM) with the anchor-v2
+// calibrated mapping below. Emitted as a "VISQOL-COMPAT:" stdout line
+// (before MOS-LQO so the reference's trailing-float parse is unaffected,
+// /root/reference/src/metrics.py:108-121) and via --version.
+constexpr const char* kScorerVersion = "aero-native v2, mapping=anchor-v2";
+
 using Matrix = std::vector<std::vector<double>>;  // [bands][frames]
 
 void Fft(std::vector<std::complex<double>>& a) {
@@ -438,6 +448,10 @@ int main(int argc, char** argv) {
       ref_path = a.substr(17);
     else if (a.rfind("--degraded_file=", 0) == 0)
       deg_path = a.substr(16);
+    else if (a == "--version") {
+      printf("VISQOL-COMPAT: %s\n", kScorerVersion);
+      return 0;
+    }
   }
   if (ref_path.empty() || deg_path.empty()) {
     fprintf(stderr,
@@ -506,6 +520,7 @@ int main(int argc, char** argv) {
 
   printf("Reference: %s\n", ref_path.c_str());
   printf("Degraded: %s\n", deg_path.c_str());
+  printf("VISQOL-COMPAT: %s\n", kScorerVersion);
   if (verbose) {
     printf("FVNSIM:");
     for (int b = 0; b < n_bands; ++b) printf("\t%0.5f", fvnsim[b]);

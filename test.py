@@ -58,6 +58,10 @@ def run(args):
                                    spec_fns=make_spec_fns(args, models["generator"]))
     logger.info("Done evaluation.")
     logger.info(bold(f"LSD={lsd} , VISQOL={visqol}"))
+    if visqol:
+        from aero_tpu.eval.metrics import visqol_scorer_version
+        logger.info(f"ViSQOL scorer: {visqol_scorer_version() or 'unknown'}"
+                    " (MOS comparable only within one scorer stamp)")
     return lsd, visqol
 
 

@@ -100,6 +100,38 @@ def test_visqol_through_metrics_module(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     score = get_visqol(clean, clean, "testfile", 16000, True, NATIVE)
     assert score > 4.0
+    # every successful run stamps the scorer version (MOS values are only
+    # comparable within one calibration — VERDICT r3 weak-4)
+    from aero_tpu.eval.metrics import visqol_scorer_version
+    ver = visqol_scorer_version()
+    assert ver and ver.startswith("aero-native"), ver
+
+
+def test_visqol_version_stamp(tmp_path):
+    """Scorer emits a VISQOL-COMPAT stamp both inline and via --version,
+    placed BEFORE the MOS line so the reference's trailing-float parse
+    (/root/reference/src/metrics.py:108-121) is unaffected."""
+    from aero_tpu.eval.metrics import _parse_scorer_version, \
+        probe_scorer_version
+
+    ver = probe_scorer_version(NATIVE)
+    assert ver.startswith("aero-native v"), ver
+    assert "mapping=" in ver
+
+    clean = (0.5 * np.sin(2 * np.pi * 330 *
+                          np.arange(16000) / 16000.0)).astype(np.float32)[None]
+    rp, dp = str(tmp_path / "r.wav"), str(tmp_path / "d.wav")
+    audio_io.save(rp, clean, 16000)
+    audio_io.save(dp, clean, 16000)
+    out = subprocess.run(
+        f"cd {NATIVE}; ./bazel-bin/visqol --reference_file {rp} "
+        f"--degraded_file {dp} --use_speech_mode", shell=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT).stdout.decode()
+    assert _parse_scorer_version(out) == ver
+    # the stamp must not break the trailing-float contract
+    assert float(out.split("\t")[-1].strip()) > 4.0
+    # a scorer with no stamp is classified as external
+    assert _parse_scorer_version("NSIM:\t0.9\nMOS-LQO:\t4.0\n") == "external"
 
 
 def test_audio_tool_cli(tmp_path):
