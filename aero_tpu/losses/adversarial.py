@@ -65,32 +65,62 @@ def melgan_generator_losses(disc_fake, disc_real, n_layers: int, num_d: int,
     return adversarial_loss, features_loss
 
 
-def hifi_feature_loss(fmap_r, fmap_g):
+def _fmap_mean(x, n=None):
+    """Mean over a feature map ([B, T, C] or [B, R, p, C]); with ``n``
+    (traced), the masked mean over the first n entries of axis 1."""
+    if n is None:
+        return jnp.mean(x)
+    idx = jnp.arange(x.shape[1]).reshape((1, -1) + (1,) * (x.ndim - 2))
+    denom = n * (x.size // x.shape[1])
+    return jnp.sum(x * (idx < n).astype(x.dtype)) / denom
+
+
+def _logit_mean(x, count=None):
+    """Mean over flattened logits [B, N]; with ``count`` (traced), the
+    masked mean over the first count columns (bucketed-exact mode —
+    the masked discriminators flatten row-major so the valid elements
+    are a prefix)."""
+    if count is None:
+        return jnp.mean(x)
+    mask = (jnp.arange(x.shape[1])[None, :] < count).astype(x.dtype)
+    return jnp.sum(x * mask) / (x.shape[0] * count)
+
+
+def hifi_feature_loss(fmap_r, fmap_g, lens=None):
     """Mean L1 over all layers of all sub-discriminators, averaged by
-    layer count (discriminators.py:211-219)."""
+    layer count (discriminators.py:211-219). ``lens``: per-disc
+    per-layer traced valid lengths from the masked discriminators
+    (bucketed-exact eval)."""
     loss = 0.0
     total = 0
-    for dr, dg in zip(fmap_r, fmap_g):
-        for rl, gl in zip(dr, dg):
+    for i, (dr, dg) in enumerate(zip(fmap_r, fmap_g)):
+        for j, (rl, gl) in enumerate(zip(dr, dg)):
             total += 1
-            loss += jnp.mean(jnp.abs(rl.astype(jnp.float32)
-                                     - gl.astype(jnp.float32)))
+            n = lens[i][j] if lens is not None else None
+            loss += _fmap_mean(jnp.abs(rl.astype(jnp.float32)
+                                       - gl.astype(jnp.float32)), n)
     return loss / total
 
 
-def hifi_discriminator_loss(disc_real_outputs, disc_generated_outputs):
-    """LS-GAN discriminator loss (discriminators.py:222-233)."""
+def hifi_discriminator_loss(disc_real_outputs, disc_generated_outputs,
+                            counts=None):
+    """LS-GAN discriminator loss (discriminators.py:222-233).
+    ``counts``: per-disc traced valid logit counts (bucketed-exact)."""
     loss = 0.0
-    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+    for i, (dr, dg) in enumerate(zip(disc_real_outputs,
+                                     disc_generated_outputs)):
         dr, dg = dr.astype(jnp.float32), dg.astype(jnp.float32)
-        loss += jnp.mean((1 - dr) ** 2) + jnp.mean(dg ** 2)
+        c = counts[i] if counts is not None else None
+        loss += _logit_mean((1 - dr) ** 2, c) + _logit_mean(dg ** 2, c)
     return loss
 
 
-def hifi_generator_loss(disc_outputs):
-    """LS-GAN generator loss (discriminators.py:236-243)."""
+def hifi_generator_loss(disc_outputs, counts=None):
+    """LS-GAN generator loss (discriminators.py:236-243).
+    ``counts``: see hifi_discriminator_loss."""
     loss = 0.0
-    for dg in disc_outputs:
+    for i, dg in enumerate(disc_outputs):
         dg = dg.astype(jnp.float32)
-        loss += jnp.mean((1 - dg) ** 2)
+        c = counts[i] if counts is not None else None
+        loss += _logit_mean((1 - dg) ** 2, c)
     return loss

@@ -264,8 +264,9 @@ def avg_pool1d(x, kernel: int, stride: int, padding: int,
 
 
 def _mask_time(x, n_valid):
-    """Zero [B, T, C] beyond time index n_valid (traced scalar)."""
-    idx = jnp.arange(x.shape[1])[None, :, None]
+    """Zero x beyond index n_valid (traced scalar) along axis 1.
+    Works for [B, T, C] and [B, R, p, C] (broadcast over trailing dims)."""
+    idx = jnp.arange(x.shape[1]).reshape((1, -1) + (1,) * (x.ndim - 2))
     return x * (idx < n_valid).astype(x.dtype)
 
 
@@ -413,14 +414,43 @@ class DiscriminatorP(nn.Module):
     hidden: int = 32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, n_valid=None):
+        """``n_valid`` (traced scalar): bucketed-exact mode. x is a
+        length-n signal padded to a static bucket with T >= n + period;
+        the reflect pad the exact run's time-fold would produce is
+        written on device (positions n+i <- x[n-2-i]), folded rows past
+        the exact run's row count are zero-masked after every conv
+        (mirroring the conv's implicit zero padding), and per-fmap valid
+        row counts are returned: (logits, fmap, row_lens)."""
         fmap = []
         b, t, c = x.shape
-        if t % self.period != 0:
-            n_pad = self.period - (t % self.period)
-            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
-            t = t + n_pad
-        h = x.reshape(b, t // self.period, self.period, c)
+        p = self.period
+        if t % p != 0:
+            static_pad = p - (t % p)
+            if n_valid is None:
+                x = jnp.pad(x, ((0, 0), (0, static_pad), (0, 0)),
+                            mode="reflect")
+            else:
+                # bucket tail is masked garbage anyway; rows past the
+                # valid count are zeroed below
+                x = jnp.pad(x, ((0, 0), (0, static_pad), (0, 0)))
+            t = t + static_pad
+        lens = None
+        if n_valid is not None:
+            x = _mask_time(x, n_valid)
+            if p > 1:
+                # exact-run fold pad: reflect tail x[n-2-i] at n+i for
+                # i < n_pad; entries i >= n_pad land at positions
+                # >= n + n_pad = rows >= m, zeroed by the row mask.
+                tail = jax.lax.dynamic_slice_in_dim(x, n_valid - p, p - 1,
+                                                    axis=1)
+                x = jax.lax.dynamic_update_slice_in_dim(
+                    x, jnp.flip(tail, axis=1), n_valid, axis=1)
+            m = (n_valid + p - 1) // p  # ceil: rows of the exact fold
+            lens = []
+        h = x.reshape(b, t // p, p, c)
+        if n_valid is not None:
+            h = _mask_time(h, m)
 
         chans = [self.hidden, self.hidden * 4, self.hidden * 16,
                  self.hidden * 32]
@@ -428,13 +458,28 @@ class DiscriminatorP(nn.Module):
             h = WNConv2d(ch, (self.kernel_size, 1), (self.stride, 1),
                          (get_padding(5, 1), 0), name=f"convs_{i}")(h)
             h = leaky_relu(h, LRELU_SLOPE)
+            if n_valid is not None:
+                m = _conv_out_len(m, self.kernel_size, self.stride,
+                                  get_padding(5, 1))
+                h = _mask_time(h, m)
+                lens.append(m)
             fmap.append(h)
         h = WNConv2d(self.hidden * 32, (self.kernel_size, 1), (1, 1),
                      (2, 0), name="convs_4")(h)
         h = leaky_relu(h, LRELU_SLOPE)
+        if n_valid is not None:
+            m = _conv_out_len(m, self.kernel_size, 1, 2)
+            h = _mask_time(h, m)
+            lens.append(m)
         fmap.append(h)
         h = WNConv2d(1, (3, 1), (1, 1), (1, 0), name="conv_post")(h)
+        if n_valid is not None:
+            m = _conv_out_len(m, 3, 1, 1)
+            h = _mask_time(h, m)
+            lens.append(m)
         fmap.append(h)
+        if n_valid is not None:
+            return h.reshape(b, -1), fmap, lens
         return h.reshape(b, -1), fmap
 
 
@@ -446,17 +491,31 @@ class MultiPeriodDiscriminator(nn.Module):
     periods: tp.Sequence[int] = (2, 3, 5, 7, 11)
 
     @nn.compact
-    def __call__(self, y, y_hat, train: bool = False):
+    def __call__(self, y, y_hat, train: bool = False, n_valid=None):
+        """``n_valid`` (traced scalar): bucketed-exact mode, see
+        DiscriminatorP. Returns the usual 4-tuple plus ``mask_info =
+        (logit_valid_counts, fmap_row_lens)`` — per sub-disc, the valid
+        element count of the flattened logits (rows * period) and the
+        per-fmap valid row counts (shared by real/generated: same n)."""
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        counts, all_lens = [], []
         for i, period in enumerate(self.periods):
             d = DiscriminatorP(period, hidden=self.hidden,
                                name=f"discriminators_{i}")
-            y_d_r, fmap_r = d(y, train)
-            y_d_g, fmap_g = d(y_hat, train)
+            if n_valid is None:
+                y_d_r, fmap_r = d(y, train)
+                y_d_g, fmap_g = d(y_hat, train)
+            else:
+                y_d_r, fmap_r, lens = d(y, train, n_valid=n_valid)
+                y_d_g, fmap_g, _ = d(y_hat, train, n_valid=n_valid)
+                counts.append(lens[-1] * period)
+                all_lens.append(lens)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)
             fmap_gs.append(fmap_g)
+        if n_valid is not None:
+            return y_d_rs, y_d_gs, fmap_rs, fmap_gs, (counts, all_lens)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
@@ -467,7 +526,12 @@ class DiscriminatorS(nn.Module):
     hidden: int = 128
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, n_valid=None):
+        """``n_valid`` (traced scalar): bucketed-exact mode — x must
+        already be zero-masked past n_valid (the convs use zero padding,
+        so masked-bucket values in [0, ln) are bit-identical to the
+        exact-length run); feature maps are re-masked after every layer
+        and per-fmap valid lengths returned: (logits, fmap, lens)."""
         hd = self.hidden
         specs = [
             dict(features=hd, kernel_size=15, stride=1, padding=7, groups=1),
@@ -479,6 +543,8 @@ class DiscriminatorS(nn.Module):
             dict(features=hd * 8, kernel_size=5, stride=1, padding=2, groups=1),
         ]
         fmap = []
+        lens = [] if n_valid is not None else None
+        ln = n_valid
         h = x
         for i, s in enumerate(specs):
             if self.use_spectral_norm:
@@ -486,12 +552,23 @@ class DiscriminatorS(nn.Module):
             else:
                 h = WNConv1d(**s, name=f"convs_{i}")(h)
             h = leaky_relu(h, LRELU_SLOPE)
+            if n_valid is not None:
+                ln = _conv_out_len(ln, s["kernel_size"], s["stride"],
+                                   s["padding"])
+                h = _mask_time(h, ln)
+                lens.append(ln)
             fmap.append(h)
         if self.use_spectral_norm:
             h = SNConv1d(1, 3, 1, 1, name="conv_post")(h, train)
         else:
             h = WNConv1d(1, 3, 1, 1, name="conv_post")(h)
+        if n_valid is not None:
+            ln = _conv_out_len(ln, 3, 1, 1)
+            h = _mask_time(h, ln)
+            lens.append(ln)
         fmap.append(h)
+        if n_valid is not None:
+            return h.reshape(h.shape[0], -1), fmap, lens
         return h.reshape(h.shape[0], -1), fmap
 
 
@@ -502,18 +579,43 @@ class MultiScaleDiscriminator(nn.Module):
     num_D: int = 3
 
     @nn.compact
-    def __call__(self, y, y_hat, train: bool = False):
+    def __call__(self, y, y_hat, train: bool = False, n_valid=None):
+        """``n_valid`` (traced scalar): bucketed-exact mode, see
+        DiscriminatorS. Inputs are zero-masked past the running valid
+        length; the between-scale AvgPool(4,2,pad=2) divides by 4
+        including padding (torch count_include_pad default), and the
+        masked region's zeros equal the exact run's implicit pad zeros,
+        so pooled values in the valid extent are exact. Returns the
+        usual 4-tuple plus ``mask_info = (logit_valid_counts,
+        fmap_lens)``."""
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        counts, all_lens = [], []
+        n = n_valid
+        if n is not None:
+            y = _mask_time(y, n)
+            y_hat = _mask_time(y_hat, n)
         for i in range(self.num_D):
             if i != 0:
                 y = avg_pool1d(y, 4, 2, 2)
                 y_hat = avg_pool1d(y_hat, 4, 2, 2)
+                if n is not None:
+                    n = _conv_out_len(n, 4, 2, 2)
+                    y = _mask_time(y, n)
+                    y_hat = _mask_time(y_hat, n)
             d = DiscriminatorS(use_spectral_norm=(i == 0), hidden=self.hidden,
                                name=f"discriminators_{i}")
-            y_d_r, fmap_r = d(y, train)
-            y_d_g, fmap_g = d(y_hat, train)
+            if n_valid is None:
+                y_d_r, fmap_r = d(y, train)
+                y_d_g, fmap_g = d(y_hat, train)
+            else:
+                y_d_r, fmap_r, lens = d(y, train, n_valid=n)
+                y_d_g, fmap_g, _ = d(y_hat, train, n_valid=n)
+                counts.append(lens[-1])
+                all_lens.append(lens)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)
             fmap_gs.append(fmap_g)
+        if n_valid is not None:
+            return y_d_rs, y_d_gs, fmap_rs, fmap_gs, (counts, all_lens)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -187,21 +187,18 @@ class Solver:
 
     def _fused_valid_shapes(self, n_lr: int, n_hr: int):
         """(padded lr len, padded hr len, ok) for the fused valid path;
-        ok=False falls back to the split path (exact-length mode, a file
-        too short for the on-device tail reconstruction, or hifi-family
-        discriminators — their valid losses are unmasked means over
-        zero-masked PADDED signals, so the value depends on the padded
-        length, and fused (t_lr*scale+margin) and split (hr-bucket
-        multiple) pad differently; mixing the two paths within an epoch
-        would make per-file losses routing-dependent. melgan masks
-        per-layer, so it is padding-invariant and fuses fine)."""
+        ok=False falls back to the split path (exact-length mode, or a
+        file too short for the on-device tail reconstruction). All
+        discriminator families compute padding-invariant MASKED losses
+        under bucketing (melgan per-layer masks; hifi period/scale
+        stacks per-layer masked since r4 — tests/test_valid_masking.py),
+        so fused (t_lr*scale+margin) and split (hr-bucket multiple)
+        padded lengths give identical values and both paths may mix
+        freely within an epoch."""
         from aero_tpu.eval.forward import bucket_target
         from aero_tpu.losses.stft_loss import STFT_LOSS_PAD_MARGIN
 
         exp = self.args.experiment
-        if bool(exp.get("adversarial", False)) and set(
-                exp.get("discriminator_models", [])) - {"msd_melgan"}:
-            return 0, 0, False
         lr_sr = int(exp.hr_sr if exp.get("upsample", False) else exp.lr_sr)
         bucket_lr = int(float(self.args.get("eval_bucket_s", 1.0)) * lr_sr)
         if bucket_lr <= 0 or n_hr < STFT_LOSS_PAD_MARGIN + 2:
@@ -284,13 +281,19 @@ class Solver:
 
     def _load_torch(self, path, load_best, keep_history=True):
         """Resume from a reference ``checkpoint.th``: restore every model
-        whose importer exists (generator + msd_melgan), history, and
-        best_states — the reference package contract (solver.py:103-133,
-        model_serializer.py:39-53). Not restored: optimizer moments
-        (torch Adam's integer-id state layout has no stable mapping onto
-        the optax pytree — fresh moments re-warm within a few hundred
-        steps) and hifi-family discriminator states (no importer); both
-        are logged loudly rather than silently dropped."""
+        whose importer exists (generator + msd_melgan), history,
+        best_states, AND the Adam moments (exp_avg/exp_avg_sq/step) —
+        the full reference package contract (solver.py:103-133,
+        model_serializer.py:39-53). torch Adam state is keyed by param
+        position in the param_groups, i.e. ``parameters()`` order, which
+        is reconstructed from the state_dict key order
+        (torch_import.torch_param_order); the moment tensors go through
+        the same linear layout transforms as the weights. Not restored
+        (logged loudly): hifi-family discriminator states/moments (no
+        importer) and moments under AERO_FLAT_OPT=1 (raveled state has a
+        different structure)."""
+        import os as _os
+
         from aero_tpu.train import torch_import
 
         pkg = torch_import.load_torch_checkpoint(path)
@@ -322,8 +325,15 @@ class Solver:
         gen_vars, disc_params = imported_models(src, host)
         host = host.replace(gen_params=gen_vars.pop("params"),
                             gen_state=gen_vars, disc_params=disc_params)
-        logger.warning("torch checkpoint: optimizer moments are not "
-                       "importable; Adam restarts with fresh moments")
+        # Optimizer moments (reference _load restores optimizer
+        # state_dicts only on a non-best load, solver.py:104-112)
+        if load_best:
+            pass  # reference semantics: best-state load keeps fresh opt
+        elif _os.environ.get("AERO_FLAT_OPT", "0") == "1":
+            logger.warning("AERO_FLAT_OPT=1: raveled opt state cannot "
+                           "take torch moments; Adam restarts fresh")
+        else:
+            host = self._import_torch_moments(torch_import, pkg, host)
         self.state = pmesh.replicate(host, self.mesh)
         if keep_history and pkg.get("history"):
             self.history = list(pkg["history"])
@@ -335,6 +345,55 @@ class Solver:
             for name, p in b_disc.items():
                 best[name] = {"params": p, **host_dstate.get(name, {})}
             self.best_states = best
+
+    def _import_torch_moments(self, torch_import, pkg, host):
+        """Restore Adam exp_avg/exp_avg_sq/step from the reference
+        checkpoint's optimizer state_dicts ('optimizer' = generator,
+        'disc_optimizer' = discriminators chained in
+        discriminator_models order; reference train.py:83,91-96,
+        solver.py:126-129)."""
+        from aero_tpu.train.train_step import with_adam_moments
+
+        opts = pkg.get("optimizers") or {}
+        exp = self.args.experiment
+        if opts.get("optimizer", {}).get("state") \
+                and str(exp.model) == "aero":
+            try:
+                mu, nu, step = torch_import.import_aero_adam_moments(
+                    opts["optimizer"], pkg["param_keys"]["generator"],
+                    host.gen_params)
+                host = host.replace(gen_opt_state=with_adam_moments(
+                    host.gen_opt_state, mu, nu, step))
+                logger.info(f"torch checkpoint: generator Adam moments "
+                            f"imported (step {step})")
+            except Exception as e:  # noqa: BLE001 — degrade to fresh
+                logger.warning(f"generator Adam moment import failed "
+                               f"({e!r}); fresh moments")
+        elif opts:
+            logger.warning("torch checkpoint: no generator Adam moment "
+                           "importer for this config; fresh moments")
+        disc_names = list(exp.get("discriminator_models", []))
+        if opts.get("disc_optimizer", {}).get("state") and host.disc_params:
+            if disc_names == ["msd_melgan"]:
+                try:
+                    mu, nu, step = torch_import.import_melgan_adam_moments(
+                        opts["disc_optimizer"],
+                        pkg["param_keys"]["msd_melgan"],
+                        host.disc_params["msd_melgan"],
+                        int(exp.melgan_discriminator.n_layers))
+                    host = host.replace(disc_opt_state=with_adam_moments(
+                        host.disc_opt_state,
+                        {"msd_melgan": mu}, {"msd_melgan": nu}, step))
+                    logger.info(f"torch checkpoint: melgan Adam moments "
+                                f"imported (step {step})")
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"discriminator Adam moment import "
+                                   f"failed ({e!r}); fresh moments")
+            else:
+                logger.warning(
+                    f"torch checkpoint: no Adam moment importer for the "
+                    f"discriminator chain {disc_names}; fresh moments")
+        return host
 
     # ------------------------------------------------------------------
     def train(self):

@@ -62,6 +62,29 @@ def make_optimizer(args):
     return opt
 
 
+def with_adam_moments(opt_state, mu, nu, count: int):
+    """Return ``opt_state`` with its ScaleByAdamState replaced by the
+    given moment trees and step count (torch ``.th`` warm resume —
+    reference solver.py:126-129 restores optimizer.state_dict()).
+    ``mu``/``nu`` must mirror the params tree; ``count`` is torch's
+    per-param 'step' (both sides apply bias correction with step+1 on
+    the next update, so the counts align 1:1)."""
+
+    def rep(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            new_mu = jax.tree.map(
+                lambda t, v: jnp.asarray(v, t.dtype), s.mu, mu)
+            new_nu = jax.tree.map(
+                lambda t, v: jnp.asarray(v, t.dtype), s.nu, nu)
+            return s._replace(count=jnp.asarray(count, s.count.dtype),
+                              mu=new_mu, nu=new_nu)
+        return s
+
+    return jax.tree_util.tree_map(
+        rep, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
+
+
 def init_state(args, models, variables, rng) -> TrainState:
     gen_vars = dict(variables["generator"])
     gen_params = gen_vars.pop("params")
@@ -117,11 +140,10 @@ class LossComputer:
         ``n_valid`` (traced scalar): bucketed-exact eval mode. pr/hr are
         exact length-n signals reflect-tail-padded to a static bucket
         (margin >= STFT_LOSS_PAD_MARGIN); every loss is computed with
-        masks so it equals the exact-length reference computation
-        (solver.py:353-425) — exactly for l1/l2/stft/melgan, and for the
-        hifi discs on zero-masked signals (per-layer masking of the
-        period/scale stacks is not implemented; consistent across
-        epochs, which best-state selection needs)."""
+        masks so it EQUALS the exact-length reference computation
+        (solver.py:353-425) — l1/l2/stft/melgan and the hifi families
+        alike (per-layer masked period/scale stacks + masked LS-GAN/
+        feature/mel means; tests/test_valid_masking.py)."""
         exp = self.args.experiment
         out = {}
         if n_valid is not None:
@@ -146,10 +168,6 @@ class LossComputer:
             return out
 
         pr_tc, hr_tc = _to_tc(pr), _to_tc(hr)
-        if n_valid is not None:
-            # hifi discs see zero-masked signals (see docstring); the
-            # melgan disc masks internally given n_valid.
-            zmask = jnp.swapaxes(tmask, 1, 2)
         if "msd_melgan" in self.disc_names:
             disc = self.models["msd_melgan"]
             p = disc_params["msd_melgan"]
@@ -171,47 +189,71 @@ class LossComputer:
                 out["adversarial_melgan"] = adv
             if not self.only_adversarial:
                 out["features_melgan"] = self.feat_lambda * feat
-        if n_valid is not None:
-            pr_tc = pr_tc * zmask
-            hr_tc = hr_tc * zmask
+        nv = {"n_valid": n_valid} if n_valid is not None else {}
         if "msd_hifi" in self.disc_names:
             disc = self.models["msd_hifi"]
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
-            _, y_g, fmap_r, fmap_g = disc.apply(v, hr_tc, pr_tc, train=False)
+            res = disc.apply(v, hr_tc, pr_tc, train=False, **nv)
+            (_, y_g, fmap_r, fmap_g), mi = res[:4], (res[4] if n_valid
+                                                     is not None else None)
+            counts, lens = mi if mi is not None else (None, None)
             if not self.only_features:
-                out["adversarial_msd"] = hifi_generator_loss(y_g)
+                out["adversarial_msd"] = hifi_generator_loss(y_g, counts)
             if not self.only_adversarial:
                 out["features_msd"] = self.feat_lambda * hifi_feature_loss(
-                    fmap_r, fmap_g)
+                    fmap_r, fmap_g, lens)
         if "mpd" in self.disc_names:
             disc = self.models["mpd"]
             p = disc_params["mpd"]
-            _, y_g, fmap_r, fmap_g = disc.apply({"params": p}, hr_tc, pr_tc)
+            res = disc.apply({"params": p}, hr_tc, pr_tc, **nv)
+            (_, y_g, fmap_r, fmap_g), mi = res[:4], (res[4] if n_valid
+                                                     is not None else None)
+            counts, lens = mi if mi is not None else (None, None)
             if not self.only_features:
-                out["adversarial_mpd"] = hifi_generator_loss(y_g)
+                out["adversarial_mpd"] = hifi_generator_loss(y_g, counts)
             if not self.only_adversarial:
                 out["features_mpd"] = self.feat_lambda * hifi_feature_loss(
-                    fmap_r, fmap_g)
+                    fmap_r, fmap_g, lens)
         if "hifi" in self.disc_names:
             mpd, msd = self.models["mpd"], self.models["msd_hifi"]
-            _, y_df_g, fmap_f_r, fmap_f_g = mpd.apply(
-                {"params": disc_params["mpd"]}, hr_tc, pr_tc)
+            res_f = mpd.apply({"params": disc_params["mpd"]}, hr_tc, pr_tc,
+                              **nv)
+            (_, y_df_g, fmap_f_r, fmap_f_g) = res_f[:4]
+            f_counts, f_lens = res_f[4] if n_valid is not None else (None,
+                                                                     None)
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
-            _, y_ds_g, fmap_s_r, fmap_s_g = msd.apply(v, hr_tc, pr_tc,
-                                                      train=False)
+            res_s = msd.apply(v, hr_tc, pr_tc, train=False, **nv)
+            (_, y_ds_g, fmap_s_r, fmap_s_g) = res_s[:4]
+            s_counts, s_lens = res_s[4] if n_valid is not None else (None,
+                                                                     None)
             mel_kw = dict(exp.mel_spectrogram)
             pr_mel = mel_spectrogram(pr, int(exp.hr_sr), **mel_kw)
             hr_mel = mel_spectrogram(hr, int(exp.hr_sr), **mel_kw)
-            loss_mel = jnp.mean(jnp.abs(hr_mel - pr_mel)) * float(
-                exp.get("mel_spec_loss_lambda", 45))
-            fm = hifi_feature_loss(fmap_s_r, fmap_s_g) + hifi_feature_loss(
-                fmap_f_r, fmap_f_g)
+            mel_l1 = jnp.abs(hr_mel - pr_mel)
+            if n_valid is None:
+                mel_mean = jnp.mean(mel_l1)
+            else:
+                # centered STFT frames of a length-n signal: 1 + n//hop;
+                # the reflect-tail margin past n makes frames covering
+                # the boundary exact (see losses/stft_loss.stft_loss)
+                hop = int(mel_kw.get("hop_length")
+                          or (mel_kw.get("win_length")
+                              or mel_kw["n_fft"]) // 2)
+                nf = 1 + n_valid // hop
+                fidx = jnp.arange(mel_l1.shape[-1])
+                fmask = (fidx < nf).astype(mel_l1.dtype)
+                mel_mean = jnp.sum(mel_l1 * fmask) / (
+                    nf * (mel_l1.size // mel_l1.shape[-1]))
+            loss_mel = mel_mean * float(exp.get("mel_spec_loss_lambda", 45))
+            fm = hifi_feature_loss(fmap_s_r, fmap_s_g, s_lens) \
+                + hifi_feature_loss(fmap_f_r, fmap_f_g, f_lens)
             if self.only_features:
                 out["adversarial_hifi"] = fm
             else:
-                out["adversarial_hifi"] = (hifi_generator_loss(y_ds_g)
-                                           + hifi_generator_loss(y_df_g)
-                                           + fm + loss_mel)
+                out["adversarial_hifi"] = (
+                    hifi_generator_loss(y_ds_g, s_counts)
+                    + hifi_generator_loss(y_df_g, f_counts)
+                    + fm + loss_mel)
         return out
 
     def discriminator_losses(self, pr_sg, hr, disc_params, disc_state, train,
@@ -235,11 +277,7 @@ class LossComputer:
                                        n_valid=n_valid)
             out["msd_melgan"] = melgan_discriminator_loss(
                 d_fake, d_real, valid_lengths=lens)
-        if n_valid is not None:
-            zmask = (jnp.arange(pr_tc.shape[1])[None, :, None]
-                     < n_valid).astype(pr_tc.dtype)
-            pr_tc = pr_tc * zmask
-            hr_tc = hr_tc * zmask
+        nv = {"n_valid": n_valid} if n_valid is not None else {}
         # Reference semantics (solver.py:443-468,607-612): every entry in
         # discriminator_models contributes its OWN loss key and
         # _optimize_adversarial sums them all — so 'hifi' combined with
@@ -252,19 +290,23 @@ class LossComputer:
             v = {"params": disc_params["msd_hifi"], **disc_state["msd_hifi"]}
             mutable = [k for k in disc_state["msd_hifi"]] if train else []
             if mutable:
-                (y_r, y_g, _, _), upd = disc.apply(v, hr_tc, pr_tc, train=train,
-                                                   mutable=mutable)
+                res, upd = disc.apply(v, hr_tc, pr_tc, train=train,
+                                      mutable=mutable, **nv)
                 new_state["msd_hifi"] = dict(upd)
             else:
-                y_r, y_g, _, _ = disc.apply(v, hr_tc, pr_tc, train=train)
-            msd_loss = hifi_discriminator_loss(y_r, y_g)
+                res = disc.apply(v, hr_tc, pr_tc, train=train, **nv)
+            y_r, y_g = res[0], res[1]
+            counts = res[4][0] if n_valid is not None else None
+            msd_loss = hifi_discriminator_loss(y_r, y_g, counts)
             if "msd_hifi" in self.disc_names:
                 out["msd"] = msd_loss
         if "mpd" in self.disc_names or "hifi" in self.disc_names:
             disc = self.models["mpd"]
-            y_r, y_g, _, _ = disc.apply({"params": disc_params["mpd"]},
-                                        hr_tc, pr_tc)
-            mpd_loss = hifi_discriminator_loss(y_r, y_g)
+            res = disc.apply({"params": disc_params["mpd"]}, hr_tc, pr_tc,
+                             **nv)
+            y_r, y_g = res[0], res[1]
+            counts = res[4][0] if n_valid is not None else None
+            mpd_loss = hifi_discriminator_loss(y_r, y_g, counts)
             if "mpd" in self.disc_names:
                 out["mpd"] = mpd_loss
         if "hifi" in self.disc_names:

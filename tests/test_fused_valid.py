@@ -166,17 +166,16 @@ def test_one_compile_per_bucket(setup):
     assert fused._cache_size() == 1
 
 
-def test_hifi_family_routes_to_split_path(setup):
-    """hifi-family valid losses are unmasked means over zero-masked
-    PADDED signals — their values depend on the padded length, and the
-    fused and split paths pad differently. The fused path must decline
-    those configs so every file takes the (self-consistent) split path."""
+def test_hifi_family_fuses(setup):
+    """Since the hifi period/scale stacks compute per-layer MASKED
+    losses (r4; tests/test_valid_masking.py proves masked-bucketed ==
+    exact-length for mpd/msd_hifi/hifi), their values are padding-
+    invariant and the fused valid path must engage for every
+    discriminator family (VERDICT r3 #2)."""
     args, models, _ = setup
-    for discs in (["msd_hifi"], ["mpd"], ["hifi"], ["msd_melgan", "hifi"]):
+    for discs in (["msd_hifi"], ["mpd"], ["hifi"], ["msd_melgan", "hifi"],
+                  ["msd_melgan"]):
         args_h = _args()
         args_h.experiment.discriminator_models = discs
         stub = _stub(args_h, models)
-        assert Solver._fused_valid_shapes(stub, 1975, 7900)[2] is False, discs
-    # pure melgan (per-layer masked, padding-invariant) still fuses
-    stub = _stub(_args(), models)
-    assert Solver._fused_valid_shapes(stub, 1975, 7900)[2] is True
+        assert Solver._fused_valid_shapes(stub, 1975, 7900)[2] is True, discs

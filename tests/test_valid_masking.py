@@ -102,6 +102,95 @@ def test_masked_bucketed_losses_equal_exact(setup, n):
                                    rtol=2e-4, err_msg=f"disc {k} at n={n}")
 
 
+def _hifi_args(discs):
+    """Small hifi-family config (mirrors tests/test_train_step_hifi.py)."""
+    args = _args()
+    args.experiment.discriminator_models = list(discs)
+    args.experiment.mpd = Config._wrap(dict(hidden=4, periods=[2, 3, 5]))
+    args.experiment.msd = Config._wrap(dict(hidden=16, num_D=2))
+    args.experiment.mel_spectrogram = Config._wrap(dict(
+        n_fft=1024, hop_length=256, win_length=1024, n_mels=80))
+    args.experiment.mel_spec_loss_lambda = 45
+    return args
+
+
+@pytest.mark.parametrize("discs", [["mpd"], ["msd_hifi"], ["hifi"]])
+@pytest.mark.parametrize("n", [7900, 16000, 20011])
+def test_hifi_masked_bucketed_equals_exact(discs, n):
+    """VERDICT r3 #2: the hifi period/scale stacks with per-layer valid
+    lengths + masked LS-GAN/feature/mel means must reproduce the exact-
+    length computation (reference solver.py:353-425) bit-near under
+    bucketing — previously an unmasked mean over zero-masked padding
+    whose value depended on the padded length."""
+    args = _hifi_args(discs)
+    models = build.build_models(args)
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    lc = LossComputer(args, models)
+    rng = np.random.default_rng(n)
+    pr = (0.1 * rng.standard_normal((1, 1, n))).astype(np.float32)
+    hr = (pr + 0.02 * rng.standard_normal((1, 1, n))).astype(np.float32)
+
+    exact = lc.generator_losses(jnp.asarray(pr), jnp.asarray(hr),
+                                state.disc_params, state.disc_state,
+                                train=False)
+    exact = {k: float(v) for k, v in exact.items()}
+
+    pr_b = jnp.asarray(_bucketed(pr, n))
+    hr_b = jnp.asarray(_bucketed(hr, n))
+    masked = lc.generator_losses(pr_b, hr_b, state.disc_params,
+                                 state.disc_state, train=False,
+                                 n_valid=jnp.asarray(n, jnp.int32))
+    masked = {k: float(v) for k, v in masked.items()}
+
+    assert set(masked) == set(exact)
+    for k in exact:
+        np.testing.assert_allclose(masked[k], exact[k], rtol=2e-4,
+                                   err_msg=f"loss {k} ({discs}) at n={n}")
+
+    d_exact, _ = lc.discriminator_losses(
+        jnp.asarray(pr), jnp.asarray(hr), state.disc_params,
+        state.disc_state, train=False)
+    d_masked, _ = lc.discriminator_losses(
+        pr_b, hr_b, state.disc_params, state.disc_state, train=False,
+        n_valid=jnp.asarray(n, jnp.int32))
+    assert set(d_masked) == set(d_exact)
+    for k in d_exact:
+        np.testing.assert_allclose(
+            float(d_masked[k]), float(d_exact[k]), rtol=2e-4,
+            err_msg=f"disc {k} ({discs}) at n={n}")
+
+
+def test_hifi_masked_padding_invariant():
+    """The same (signal, n) in two different buckets must give identical
+    masked losses — the property the old zero-mask approximation
+    lacked."""
+    args = _hifi_args(["hifi"])
+    models = build.build_models(args)
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    lc = LossComputer(args, models)
+    n = 9000
+    rng = np.random.default_rng(n)
+    pr = (0.1 * rng.standard_normal((1, 1, n))).astype(np.float32)
+    hr = (pr + 0.02 * rng.standard_normal((1, 1, n))).astype(np.float32)
+    nv = jnp.asarray(n, jnp.int32)
+    vals = []
+    for bucket in (16000, 24000):
+        g = lc.generator_losses(jnp.asarray(_bucketed(pr, n, bucket)),
+                                jnp.asarray(_bucketed(hr, n, bucket)),
+                                state.disc_params, state.disc_state,
+                                train=False, n_valid=nv)
+        vals.append({k: float(v) for k, v in g.items()})
+    for k in vals[0]:
+        np.testing.assert_allclose(vals[0][k], vals[1][k], rtol=1e-5,
+                                   err_msg=f"padding-dependent loss {k}")
+
+
 def test_one_compile_per_bucket(setup):
     """Same bucket, different n -> the jitted loss fn must not retrace."""
     args, models, state = setup
