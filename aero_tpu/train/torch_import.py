@@ -349,6 +349,89 @@ def import_melgan_state(state_dict: tp.Mapping[str, np.ndarray], params,
     return out
 
 
+# --------------------------------------------------------------------
+# Adam optimizer-state (moment) import — VERDICT r3 #4.
+#
+# torch.optim.Adam.state_dict() keys its per-param state by the param's
+# POSITION in the optimizer's param_groups, which is the order of
+# ``model.parameters()`` (reference train.py:83,91-96 builds the two
+# Adams straight from .parameters()/itertools.chain). That order is
+# reconstructible offline: torch's state_dict() and named_parameters()
+# both walk the module tree depth-first in registration order, emitting
+# a module's parameters before its buffers — so the state_dict key
+# order, restricted to parameter keys, IS the parameters() order.
+
+_BUFFER_LEAVES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def torch_param_order(state_dict_keys: tp.Iterable[str]) -> tp.List[str]:
+    """Parameter keys of a torch state_dict in ``parameters()`` order
+    (buffers excluded) — the index space of torch Adam state entries."""
+    return [k for k in state_dict_keys
+            if k.split(".")[-1] not in _BUFFER_LEAVES]
+
+
+def _moment_dicts(opt_state: dict, order: tp.Sequence[str], offset: int = 0):
+    """({torch_key: exp_avg}, {torch_key: exp_avg_sq}, step) for the
+    params at positions [offset, offset+len(order)) of a torch Adam
+    state_dict (numpy form from :func:`load_torch_checkpoint`). Params
+    with no state entry (never updated) are omitted -> stay zero."""
+    st = opt_state.get("state", {})
+    mu: tp.Dict[str, np.ndarray] = {}
+    nu: tp.Dict[str, np.ndarray] = {}
+    step = 0
+    for i, key in enumerate(order):
+        ent = st.get(offset + i)
+        if ent is None:
+            continue
+        mu[key] = ent["exp_avg"]
+        nu[key] = ent["exp_avg_sq"]
+        step = max(step, int(ent["step"]))
+    return mu, nu, step
+
+
+def import_aero_adam_moments(opt_state: dict,
+                             model_state_keys: tp.Sequence[str],
+                             params_template):
+    """(mu, nu, step): the torch generator Adam moments mapped onto our
+    params tree (same linear layout transforms as the weights — valid
+    for moments, which live in parameter coordinates). Missing entries
+    (untrained params) stay zero, matching optax.adam init."""
+    order = torch_param_order(model_state_keys)
+    mu_d, nu_d, step = _moment_dicts(opt_state, order)
+
+    def build(src):
+        out = _np_zeros_like_tree(params_template)
+        for path, _leaf in list(_walk(out)):
+            tkey, transform = _aero_torch_key(path)
+            if tkey in src:
+                _set(out, path, transform(src[tkey]).astype(np.float32))
+        return out
+
+    return build(mu_d), build(nu_d), step
+
+
+def import_melgan_adam_moments(opt_state: dict,
+                               model_state_keys: tp.Sequence[str],
+                               params_template, n_layers: int,
+                               offset: int = 0):
+    """(mu, nu, step) for a melgan discriminator whose params occupy
+    positions [offset, ...) of a (possibly chained) torch Adam state
+    (reference train.py:91-96 chains discriminator params in
+    discriminator_models order)."""
+    order = torch_param_order(model_state_keys)
+    mu_d, nu_d, step = _moment_dicts(opt_state, order, offset)
+    mu = import_melgan_state(mu_d, params_template, n_layers)
+    nu = import_melgan_state(nu_d, params_template, n_layers)
+    return mu, nu, step
+
+
+def _np_zeros_like_tree(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), dict(tree))
+
+
 def save_torch_checkpoint(path: str, variables, kwargs: dict,
                           history=None, args: dict | None = None) -> None:
     """Write a reference-format checkpoint.th (model_serializer.py layout)
@@ -372,7 +455,9 @@ def load_torch_checkpoint(path: str):
     """Load a reference checkpoint.th -> dict of numpy state dicts.
 
     Returns {'models': {name: state_dict}, 'best_states': {...} or None,
-    'history': [per-epoch metric dicts]} (reference package layout,
+    'history': [per-epoch metric dicts], 'param_keys': {name: ordered
+    state_dict keys}, 'optimizers': {name: {'state': {idx: {'step',
+    'exp_avg', 'exp_avg_sq'}}}}} (reference package layout,
     src/model_serializer.py:39-53). Requires torch (CPU) at call time
     only.
     """
@@ -380,9 +465,23 @@ def load_torch_checkpoint(path: str):
 
     pkg = torch.load(path, map_location="cpu", weights_only=False)
     out = {"models": {}, "best_states": None,
-           "history": list(pkg.get("history") or [])}
+           "history": list(pkg.get("history") or []),
+           "param_keys": {}, "optimizers": {}}
     for name, mp in pkg.get("models", {}).items():
         out["models"][name] = {k: v.numpy() for k, v in mp["state"].items()}
+        out["param_keys"][name] = list(mp["state"].keys())
+    for name, osd in (pkg.get("optimizers") or {}).items():
+        state = {}
+        for idx, ent in (osd.get("state") or {}).items():
+            if not all(k in ent for k in ("step", "exp_avg", "exp_avg_sq")):
+                continue  # non-Adam layout: leave this entry un-imported
+            step = ent["step"]
+            state[int(idx)] = {
+                "step": float(step.item() if hasattr(step, "item") else step),
+                "exp_avg": np.asarray(ent["exp_avg"]),
+                "exp_avg_sq": np.asarray(ent["exp_avg_sq"]),
+            }
+        out["optimizers"][name] = {"state": state}
     best = pkg.get("best_states") or {}
     models_best = best.get("models", best) if isinstance(best, dict) else {}
     if models_best:
