@@ -1,0 +1,181 @@
+"""Analytic FLOP accounting for jitted programs — the MFU numerator.
+
+Walks a function's jaxpr and sums matmul/conv FLOPs (the standard MFU
+convention: elementwise/transcendental work is excluded, so the number
+is the model's useful dense-math work, comparable with
+jax-ml.github.io/scaling-book accounting). Control flow is handled
+structurally:
+
+- ``scan`` bodies count once per trip (``lax.fori_loop`` lowers to scan
+  in this jax version, so Pallas-free loops are exact);
+- ``pallas_call`` kernels count once per grid cell, recursing into the
+  kernel jaxpr (so the flash-attention kernels' score/AV matmuls are
+  included — these are *executed* FLOPs, identical to algorithmic FLOPs
+  for the exact-attention semantics used here);
+- ``while_loop`` trip counts are unknowable statically; the body is
+  counted once and the result is flagged ``has_while`` (the aero compute
+  path contains none — the flag is a guard against silent undercount);
+- ``cond`` takes the max across branches;
+- everything else with a sub-jaxpr (pjit, remat2, custom_jvp/vjp, ...)
+  is recursed into. Note remat2 bodies count every time they execute,
+  so rematerialized FLOPs are *included* — the reported MFU is hardware
+  dense-math utilization; with no remat in the path (the canonical
+  configs use none at train shapes) it equals model FLOP utilization.
+
+The reference has no FLOP accounting at all; its measurement point is
+wall-clock only (/root/reference/predict.py:74-83). VERDICT r3 #1 asked
+for MFU as the headline perf number; ``bench.py`` uses this module for
+the ``mfu``/``model_tflops`` JSON fields.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = ["count_flops", "peak_flops_per_sec", "FlopCount"]
+
+
+class FlopCount(dict):
+    """Per-primitive FLOP totals. Keys: 'dot_general',
+    'conv_general_dilated', plus 'total' and the 'has_while' flag."""
+
+    @property
+    def total(self) -> int:
+        return self.get("dot_general", 0) + self.get(
+            "conv_general_dilated", 0)
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+def _dot_general_flops(eqn) -> int:
+    (lhs_c, rhs_c), (lhs_b, rhs_b) = eqn.params["dimension_numbers"]
+    lhs = eqn.invars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    batch = _prod(lhs[d] for d in lhs_b)
+    contract = _prod(lhs[d] for d in lhs_c)
+    lhs_free = _prod(d for i, d in enumerate(lhs)
+                     if i not in lhs_b and i not in lhs_c)
+    rhs_free = _prod(d for i, d in enumerate(rhs)
+                     if i not in rhs_b and i not in rhs_c)
+    return 2 * batch * lhs_free * rhs_free * contract
+
+
+def _conv_flops(eqn) -> int:
+    dn = eqn.params["dimension_numbers"]
+    rhs = eqn.invars[1].aval.shape
+    out = eqn.outvars[0].aval.shape
+    cin_per_group = rhs[dn.rhs_spec[1]]
+    k_spatial = _prod(rhs[d] for d in dn.rhs_spec[2:])
+    # 2 * every output element * taps per output element. Grouping is
+    # already reflected in cin_per_group; batch_group_count likewise
+    # shrinks the per-output contraction via the rhs shape.
+    return 2 * _prod(out) * cin_per_group * k_spatial
+
+
+def _sub_jaxprs(value):
+    """Yield any Jaxpr/ClosedJaxpr nested in a param value."""
+    from jax._src import core as jcore
+
+    if isinstance(value, jcore.ClosedJaxpr):
+        yield value.jaxpr
+    elif isinstance(value, jcore.Jaxpr):
+        yield value
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            yield from _sub_jaxprs(v)
+
+
+def _count_jaxpr(jaxpr, mult: int, acc: FlopCount) -> None:
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            acc["dot_general"] = acc.get("dot_general", 0) + \
+                mult * _dot_general_flops(eqn)
+        elif name == "conv_general_dilated":
+            acc["conv_general_dilated"] = \
+                acc.get("conv_general_dilated", 0) + mult * _conv_flops(eqn)
+        elif name == "scan":
+            body = eqn.params["jaxpr"].jaxpr
+            _count_jaxpr(body, mult * int(eqn.params["length"]), acc)
+        elif name == "while":
+            acc["has_while"] = True
+            _count_jaxpr(eqn.params["body_jaxpr"].jaxpr, mult, acc)
+        elif name == "cond":
+            best, best_acc = -1, None
+            for br in eqn.params["branches"]:
+                sub = FlopCount()
+                _count_jaxpr(br.jaxpr, mult, sub)
+                if sub.total > best:
+                    best, best_acc = sub.total, sub
+            for k, v in (best_acc or {}).items():
+                if k == "has_while":
+                    acc[k] = acc.get(k, False) or v
+                else:
+                    acc[k] = acc.get(k, 0) + v
+        elif name == "pallas_call":
+            grid = getattr(eqn.params.get("grid_mapping"), "grid", ())
+            # dynamic grid dims (shouldn't occur here) count as 1
+            g = _prod(d for d in grid if isinstance(d, int))
+            _count_jaxpr(eqn.params["jaxpr"], mult * max(g, 1), acc)
+        else:
+            for v in eqn.params.values():
+                for sub in _sub_jaxprs(v):
+                    _count_jaxpr(sub, mult, acc)
+
+
+def count_flops(fn, *args, **kwargs) -> FlopCount:
+    """Analytic matmul/conv FLOPs of one call of ``fn(*args, **kwargs)``.
+
+    Traces (no compile, no execution) and walks the jaxpr. ``fn`` may be
+    jitted or plain. Returns a :class:`FlopCount`; ``.total`` is the
+    dense-math FLOPs per call."""
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+    acc = FlopCount()
+    _count_jaxpr(closed.jaxpr, 1, acc)
+    acc["total"] = acc.total
+    return acc
+
+
+# Public per-chip dense peak FLOP/s (bf16), keyed by substrings of
+# jax's device_kind. Sources: cloud.google.com/tpu/docs (v4 275, v5e
+# 197, v5p 459, v6e/Trillium 918 bf16 TFLOP/s per chip).
+_PEAKS_BF16 = (
+    ("v6", 918e12),
+    ("v5 lite", 197e12),
+    ("v5litepod", 197e12),
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v4", 275e12),
+)
+
+
+def peak_flops_per_sec(device=None) -> float | None:
+    """bf16 dense peak of the current (or given) device, or None if the
+    platform has no published MXU peak (e.g. CPU). Override with
+    ``AERO_PEAK_TFLOPS`` (in TFLOP/s) for unrecognized device kinds."""
+    env = os.environ.get("AERO_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    device = device or jax.devices()[0]
+    if device.platform not in ("tpu", "axon"):
+        return None
+    kind = (getattr(device, "device_kind", "") or "").lower()
+    for key, peak in _PEAKS_BF16:
+        if key in kind:
+            return peak
+    # Unknown TPU kind: be explicit rather than guess.
+    return None
+
+
+def mfu(flops_per_call: int, sec_per_call: float,
+        peak: float | None) -> float | None:
+    if not peak or sec_per_call <= 0:
+        return None
+    return flops_per_call / sec_per_call / peak
