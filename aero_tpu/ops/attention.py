@@ -235,7 +235,15 @@ def pallas_attention(q, k, content, decay_w, block_q: int = 128,
     wf = jnp.moveaxis(decay_w, 2, 1).reshape(b * h, t, 1)
     wf = jnp.pad(wf, ((0, 0), (0, t_q - t), (0, 0)))
 
-    if t_k <= 3072 and t_q == t_k:
+    # Resident path stages Q+K+V+out whole-T rows in VMEM: 4 buffers x
+    # t_q x 128 lanes x itemsize, x2 double-buffering, plus score
+    # scratch. At 4-byte dtypes this crosses the 16 MB scoped-VMEM limit
+    # at t_pad=2560 (measured: "16.29M > 16.00M" Mosaic stack OOM, found
+    # by tools/pallas_tpu_parity.py r4) — the 3072 gate was tuned on
+    # bf16. f32 takes the gridded path beyond 2048, which keeps only
+    # K/V whole-T resident.
+    resident_max = 3072 if q.dtype.itemsize <= 2 else 2048
+    if t_k <= resident_max and t_q == t_k:
         # resident path: K/V (and Q) stream from HBM exactly once
         kernel = functools.partial(_pallas_kernel_resident,
                                    block_q=block_q, t_real=t)
@@ -409,14 +417,14 @@ def _fla_fwd(q, k, content, decay_w):
 def _fla_bwd(res, g):
     q, k, content, decay_w, out = res
     t = q.shape[1]
-    # VMEM budget: the bwd stages ~10 [t_pad, 128] f32 buffers per grid
-    # step (5 inputs, 3 grads, 2 scratch accumulators) ≈ 5.1 KB/row
-    # before double-buffering — t_pad=4096 oversubscribes the ~16 MB
-    # VMEM that the FORWARD's 3072 resident cap was tuned for (fewer
-    # buffers), so the old `t <= 4096` gate could compile the forward
-    # yet fail the backward for T in (3072, 4096]. 2048 leaves 2x
-    # headroom for pipelining.
-    if t <= 2048:  # resident accumulators fit VMEM
+    # VMEM budget: the bwd stages 10 whole-T [t_pad, 128] buffers per
+    # grid step (6 inputs, 4 grads; x2 double-buffering) plus 2 f32
+    # scratch accumulators. At bf16 that is ~12.6 MB at t_pad=2048; at
+    # f32 the same gate measures a Mosaic stack OOM (>16 MB scoped
+    # VMEM, found by tools/pallas_tpu_parity.py r4) — 4-byte dtypes cap
+    # at 1024 (≈11.5 MB).
+    bwd_max = 2048 if q.dtype.itemsize <= 2 else 1024
+    if t <= bwd_max:  # resident accumulators fit VMEM
         return pallas_attention_bwd(q, k, content, decay_w, out, g)
     # memory-bounded fallback: checkpointed query-block scan, NOT the
     # dense T x T graph (which materializes [B*H, T, T] activations —

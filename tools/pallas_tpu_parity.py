@@ -71,48 +71,74 @@ def attn_inputs(b, t, heads=4, ch=12, dtype=jnp.float32, seed=0):
 
 def attn_forward_cases():
     # (label, B, T, dtype, tol); B shrinks with T so the dense reference
-    # scores [B, H, T, T] f32 fit HBM
+    # scores [B, H, T, T] f32 fit HBM.
+    # Tolerances: on TPU BOTH the kernel and the dense reference run
+    # their MXU dots at default precision (bf16 mantissa, f32
+    # accumulate), so f32-input parity is bounded by rounding ORDER
+    # (~2e-3 measured), not f32 eps. A miscompile (wrong indices,
+    # garbage tiles, bad masks) produces O(1) errors — that is what
+    # this harness is for.
     cases = [
-        ("fwd train T=500 f32", 128, 500, jnp.float32, 5e-5),
+        ("fwd train T=500 f32", 128, 500, jnp.float32, 1e-2),
         ("fwd train T=500 bf16", 128, 500, jnp.bfloat16, 3e-2),
-        ("fwd eval T=2501 f32", 16, 2501, jnp.float32, 5e-5),
-        ("fwd eval T=2501 bf16", 16, 2501, jnp.bfloat16, 3e-2),
+        ("fwd eval T=2501 f32 (gridded path)", 16, 2501, jnp.float32, 1e-2),
+        ("fwd eval T=2501 bf16 (resident path)", 16, 2501,
+         jnp.bfloat16, 3e-2),
+        ("fwd T=3000 bf16 (resident, near gate)", 8, 3000,
+         jnp.bfloat16, 3e-2),
+        ("fwd T=4000 f32 (gridded, near MAX_PALLAS_T)", 4, 4000,
+         jnp.float32, 1e-2),
         ("fwd long T=6891 f32 (blockwise fallback)", 2, 6891,
-         jnp.float32, 5e-5),
+         jnp.float32, 1e-2),
     ]
     for label, b, t, dtype, tol in cases:
-        q, k, v, w = attn_inputs(b, t, dtype=dtype, seed=t)
-        got = jax.jit(at.fused_local_attention)(q, k, v, w)
-        want = jax.jit(at.reference_attention)(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), w.astype(jnp.float32))
-        check(label, got, want, tol)
+        try:
+            q, k, v, w = attn_inputs(b, t, dtype=dtype, seed=t)
+            got = jax.jit(at.fused_local_attention)(q, k, v, w)
+            want = jax.jit(at.reference_attention)(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), w.astype(jnp.float32))
+            check(label, got, want, tol)
+        except Exception as e:  # noqa: BLE001 — report, keep going
+            print(f"FAIL {label}: {str(e).splitlines()[0][:140]}")
+            FAILURES.append(label)
 
 
 def attn_backward_cases():
     # bwd Mosaic kernel engages for T <= 2048; T=2501 exercises the
     # checkpointed blockwise vjp fallback on-chip
+    # f32 pallas bwd caps at T=1024 (VMEM; r4 fix), bf16 at 2048; longer
+    # T takes the checkpointed blockwise vjp
     cases = [
-        ("bwd train T=500 f32 (pallas)", 64, 500, 1e-4),
-        ("bwd T=2048 f32 (pallas, at the VMEM gate)", 8, 2048, 1e-4),
-        ("bwd eval T=2501 f32 (blockwise vjp)", 8, 2501, 1e-4),
+        ("bwd train T=500 f32 (pallas)", 64, 500, jnp.float32, 2e-2),
+        ("bwd T=1024 f32 (pallas, at the f32 VMEM gate)", 8, 1024,
+         jnp.float32, 2e-2),
+        ("bwd T=2048 bf16 (pallas, at the bf16 VMEM gate)", 8, 2048,
+         jnp.bfloat16, 6e-2),
+        ("bwd T=2048 f32 (blockwise vjp past the f32 gate)", 8, 2048,
+         jnp.float32, 2e-2),
+        ("bwd eval T=2501 f32 (blockwise vjp)", 8, 2501, jnp.float32, 2e-2),
     ]
-    for label, b, t, tol in cases:
-        q, k, v, w = attn_inputs(b, t, seed=10 * t + 1)
-        g = jnp.asarray(np.random.default_rng(t).standard_normal(
-            q.shape).astype(np.float32))
+    for label, b, t, dtype, tol in cases:
+        try:
+            q, k, v, w = attn_inputs(b, t, dtype=dtype, seed=10 * t + 1)
+            g = jnp.asarray(np.random.default_rng(t).standard_normal(
+                q.shape).astype(np.float32))
 
-        def loss(fn, q, k, v, w):
-            return jnp.sum(fn(q, k, v, w) * g)
+            def loss(fn, q, k, v, w):
+                return jnp.sum(fn(q, k, v, w) * g)
 
-        got = jax.jit(jax.grad(lambda *a: loss(at.fused_local_attention,
-                                               *a), argnums=(0, 1, 2, 3)))(
-            q, k, v, w)
-        want = jax.jit(jax.grad(lambda *a: loss(at.reference_attention,
-                                                *a), argnums=(0, 1, 2, 3)))(
-            q, k, v, w)
-        for name, gg, ww in zip(("dq", "dk", "dv", "dw"), got, want):
-            check(f"{label} {name}", gg, ww, tol)
+            got = jax.jit(jax.grad(
+                lambda *a: loss(at.fused_local_attention, *a),
+                argnums=(0, 1, 2, 3)))(q, k, v, w)
+            want = jax.jit(jax.grad(
+                lambda *a: loss(at.reference_attention, *a),
+                argnums=(0, 1, 2, 3)))(q, k, v, w)
+            for name, gg, ww in zip(("dq", "dk", "dv", "dw"), got, want):
+                check(f"{label} {name}", gg, ww, tol)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {label}: {str(e).splitlines()[0][:140]}")
+            FAILURES.append(label)
 
 
 def ftb_cases():
@@ -142,7 +168,8 @@ def ftb_cases():
         try:
             got = jax.jit(lambda *a: ftb_ops.ftb_tail(*a))(
                 x, h, ka, kb, wf, b2)
-            check(label, got, want, 1e-4)
+            # same MXU default-precision bound as the attention cases
+            check(label, got, want, 1e-2)
         except Exception as e:  # Mosaic compile reject
             msg = str(e).splitlines()[0][:100]
             if expect_ok:
