@@ -67,22 +67,39 @@ def build_models(args):
 
 
 def load_generator_state(args, models):
-    """Init a TrainState and load the generator from ``checkpoint_file``
+    """Serving TrainState: generator loaded from ``checkpoint_file``
     (ours .atpu or reference .th) — the test.py/predict.py contract
-    (/root/reference/test.py:26-40)."""
+    (/root/reference/test.py:26-40).
+
+    The generator template is built ABSTRACTLY (``jax.eval_shape``) and
+    no optimizer/discriminator state is created: the checkpoint replaces
+    every value, so the previous real init computed-and-discarded ~80 MB
+    of random weights plus optax moment zeros for every model — through
+    the remote device tunnel that is hundreds of per-leaf dispatches,
+    measured 33 s + 42 s of predict.py's warm start (PERF.md
+    'Cold-start predict', r4)."""
     import jax as _jax
 
     from aero_tpu.train import checkpoint as ckpt
-    from aero_tpu.train.train_step import init_state
+    from aero_tpu.train.train_step import TrainState
 
-    lr_shape, hr_shape = segment_shapes(args)
-    rng = _jax.random.PRNGKey(int(args.seed))
-    variables = init_variables(args, models, rng, lr_shape, hr_shape)
-    state = init_state(args, models, variables, rng)
-
-    gen_template = {"params": state.gen_params, **state.gen_state}
+    lr_shape, _hr_shape = segment_shapes(args)
+    gen = models["generator"]
+    abs_vars = _jax.eval_shape(
+        lambda k: gen.init(k, jnp.zeros(lr_shape, jnp.float32), train=False),
+        _jax.random.PRNGKey(0))
+    abs_vars = dict(abs_vars)
     loaded = dict(ckpt.load_generator_variables(
-        str(args.checkpoint_file), gen_template,
+        str(args.checkpoint_file), abs_vars,
         load_best=bool(args.get("continue_best", False)),
         model=str(args.experiment.model)))
-    return state.replace(gen_params=loaded.pop("params"), gen_state=loaded)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=loaded.pop("params"),
+        gen_state=loaded,
+        gen_opt_state=(),
+        disc_params={},
+        disc_state={},
+        disc_opt_state=(),
+        rng=_jax.random.PRNGKey(int(args.seed)),
+    )

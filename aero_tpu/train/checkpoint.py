@@ -136,8 +136,16 @@ def load_generator_variables(path: str, template_variables, load_best=False,
         pkg = torch_import.load_torch_checkpoint(path)
         sd = (pkg["best_states"] if load_best and pkg["best_states"]
               else pkg["models"])["generator"]
+
+        def concrete(x):
+            # abstract (eval_shape) serving templates: the importer
+            # overwrites every leaf, it only needs shape/dtype/structure
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return np.zeros(x.shape, x.dtype)
+            return np.asarray(x)
+
         return torch_import.import_generator_state(
-            model, sd, jax.tree.map(np.asarray, dict(template_variables)))
+            model, sd, jax.tree.map(concrete, dict(template_variables)))
 
     package = load_package(path)
     if load_best and package.get(SERIALIZE_KEY_BEST_STATES):

@@ -10,6 +10,10 @@ factor measurement point, predict.py:74-83), saves ``<stem>_pr.wav``.
 
 from __future__ import annotations
 
+import time
+
+_T0 = time.time()  # before the heavy imports: jax/backends dominate
+
 from aero_tpu.utils.platform import select_platform_from_env
 
 select_platform_from_env()
@@ -17,7 +21,6 @@ select_platform_from_env()
 import logging
 import os
 import sys
-import time
 
 import jax
 
@@ -36,11 +39,23 @@ CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 SEGMENT_DURATION_SEC = 10
 
 
+def _stage(label, t_prev):
+    """Cold-start attribution (PERF.md 'Cold-start predict'): log how
+    long each serving stage takes so cold-vs-warm gaps are diagnosable
+    from any run's log."""
+    now = time.time()
+    logger.info(f"stage {label}: {now - t_prev:.2f}s (t+{now - _T0:.2f}s)")
+    return now
+
+
 def main():
+    t_imports = time.time()
     args = load_config(CONF_DIR, "main_config", sys.argv[1:])
     filename = os.path.abspath(str(args.filename))
     output_dir = os.path.abspath(str(args.output))
     setup_logging(bool(args.verbose))
+    logger.info(f"stage imports+backend-init: {t_imports - _T0:.2f}s")
+    t = _stage("config", t_imports)
 
     run_dir = run_dir_for(args)
     os.makedirs(run_dir, exist_ok=True)
@@ -48,6 +63,7 @@ def main():
 
     models = build.build_models(args)
     state = build.load_generator_state(args, models)
+    t = _stage("build+checkpoint-load", t)
 
     exp = args.experiment
     lr_sig, sr = audio_io.load(filename)
@@ -78,8 +94,10 @@ def main():
     # serving. Must run the FULL input once: the batched multi-chunk
     # forward and the ragged-tail bucket are separate jit shapes — a
     # single-chunk warmup would leave their compiles inside the timing.
+    t = _stage("model-setup", t)
     if bool(args.get("predict_warmup", True)):
         _ = chunked(x)
+    t = _stage("warmup (compile or cache hit + param upload)", t)
 
     pred_start = time.time()
     pr = chunked(x)[0]
@@ -94,6 +112,10 @@ def main():
     os.makedirs(output_dir, exist_ok=True)
     logger.info(f"saving to: {out_filename}, with sample_rate: {exp.hr_sr}")
     write(pr, out_filename, int(exp.hr_sr))
+    _stage("fetch+write", pred_start + pred_duration)
+    logger.info(f"end-to-end: {time.time() - _T0:.2f}s "
+                f"({audio_sec / (time.time() - _T0):.1f}x realtime incl. "
+                f"startup)")
 
 
 if __name__ == "__main__":
