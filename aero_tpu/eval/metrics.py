@@ -46,8 +46,11 @@ def probe_scorer_version(visqol_path: str) -> str:
     line; anything else (including the official binary) is reported as
     ``external``."""
     try:
+        # argv-list + cwd (not an interpolated shell string) so paths
+        # with spaces/metachars can't silently misclassify the scorer.
         proc = subprocess.run(
-            f"cd {visqol_path}; ./bazel-bin/visqol --version", shell=True,
+            [os.path.join(visqol_path, "bazel-bin", "visqol"), "--version"],
+            cwd=visqol_path,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=30)
         return _parse_scorer_version(proc.stdout.decode("utf-8"))
     except Exception:  # noqa: BLE001 - probing must never break eval

@@ -379,14 +379,28 @@ def _moment_dicts(opt_state: dict, order: tp.Sequence[str], offset: int = 0):
     st = opt_state.get("state", {})
     mu: tp.Dict[str, np.ndarray] = {}
     nu: tp.Dict[str, np.ndarray] = {}
-    step = 0
+    steps: tp.List[int] = []
     for i, key in enumerate(order):
         ent = st.get(offset + i)
         if ent is None:
             continue
         mu[key] = ent["exp_avg"]
         nu[key] = ent["exp_avg_sq"]
-        step = max(step, int(ent["step"]))
+        steps.append(int(ent["step"]))
+    # torch Adam keeps a per-param step (params whose grad was None in a
+    # step lag behind); optax ScaleByAdamState has one scalar count.
+    # Take the MIN so no param's bias correction assumes updates it
+    # never had (over-correction shrinks the nu_hat denominator and
+    # perturbs exactly the first resumed updates); warn when the
+    # checkpoint's per-param steps actually differ.
+    step = min(steps) if steps else 0
+    if steps and max(steps) != step:
+        import logging
+        logging.getLogger(__name__).warning(
+            "torch Adam checkpoint has unequal per-param steps "
+            "(min %d, max %d); using min — bias correction for the "
+            "most-updated params is slightly conservative.",
+            step, max(steps))
     return mu, nu, step
 
 

@@ -26,3 +26,19 @@ _cache_dir = cache_dir_for(os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """Isolate the global compute dtype across tests.
+
+    build_models(precision=bfloat16) flips the module-level compute
+    dtype; without restoration, a bf16-building test silently degrades
+    every later torch-parity tolerance (order-dependent failures)."""
+    from aero_tpu.models import modules
+
+    prev = modules.compute_dtype()
+    yield
+    modules.set_compute_dtype(prev)
