@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from aero_tpu.models import init as tinit
-from aero_tpu.models.modules import compute_dtype, leaky_relu
+from aero_tpu.models.modules import (_conv_transpose, compute_dtype,
+                                     leaky_relu, strided_conv1d_polygrad)
 
 LRELU_SLOPE = 0.1
 
@@ -67,6 +68,12 @@ def grouped_conv1d(x, w, *, stride: int, padding: int, groups: int,
     if use_dense:
         w = _dense_blockdiag(w, groups)
         groups = 1
+    if groups == 1 and dilation == 1 and stride > 1:
+        # optional polyphase input-gradient (AERO_CONVGRAD=poly);
+        # measured SLOWER than XLA's lhs_dilation grad at this geometry
+        # — default passes through to plain autodiff (see
+        # modules.strided_conv1d_polygrad docstring for the A/B)
+        return strided_conv1d_polygrad(x, w, stride, padding)
     return jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -148,15 +155,12 @@ class WNConvTranspose1d(nn.Module):
                           (self.features,))
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True))
         cd = compute_dtype()
-        w = (v * (g.reshape(1, -1, 1) / jnp.maximum(norm, 1e-12))).astype(cd)
-        k = self.kernel_size
-        y = jax.lax.conv_general_dilated(
-            x.astype(cd), jnp.flip(w, 0),
-            window_strides=(1,),
-            padding=[(k - 1 - self.padding, k - 1 - self.padding)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        w = v * (g.reshape(1, -1, 1) / jnp.maximum(norm, 1e-12))
+        # shared lowering (modules._conv_transpose): subpixel/polyphase
+        # by default — seanet's stride-2..8 upsamplers skip the
+        # zero-dilated MACs the lhs_dilation form spends (AERO_CONVT=xla
+        # reverts).
+        y = _conv_transpose(x, w, self.stride, self.padding, axis=-2)
         if self.output_padding:
             y = jnp.pad(y, ((0, 0), (0, self.output_padding), (0, 0)))
         return y + bias.astype(cd)
@@ -184,12 +188,29 @@ class WNConv2d(nn.Module):
                           (self.features,))
         cd = compute_dtype()
         w = _weight_norm(v, g.reshape(1, 1, 1, -1)).astype(cd)
-        y = jax.lax.conv_general_dilated(
-            x.astype(cd), w,
-            window_strides=self.stride,
-            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        kw = self.kernel_size[1]
+        if (kw == 1 and self.stride[1] == 1 and self.padding[1] == 0
+                and self.stride[0] > 1
+                and os.environ.get("AERO_CONVGRAD", "xla") == "poly"):
+            # MPD geometry: kernel (k,1), stride (s,1) — the W (period)
+            # axis is pure batch, so it can fold into batch and run the
+            # 1-D strided conv with the polyphase input-gradient. Only
+            # under the AERO_CONVGRAD=poly opt-in: the reshape form
+            # changes lowering even without the custom grad, and the
+            # poly grad measured slower on the melgan disc geometry
+            # (see strided_conv1d_polygrad)
+            b, hh, ww_, c = x.shape
+            x1 = x.astype(cd).transpose(0, 2, 1, 3).reshape(b * ww_, hh, c)
+            y1 = strided_conv1d_polygrad(x1, w[:, 0], self.stride[0],
+                                         self.padding[0])
+            y = y1.reshape(b, ww_, y1.shape[1], -1).transpose(0, 2, 1, 3)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(cd), w,
+                window_strides=self.stride,
+                padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         return y + bias.astype(cd)
 
 

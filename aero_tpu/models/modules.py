@@ -20,6 +20,7 @@ Block-by-block parity targets (reference citations):
 from __future__ import annotations
 
 import math
+import os
 import typing as tp
 
 import flax.linen as nn
@@ -223,10 +224,19 @@ def _freq_conv_blocked(x, kernel, stride: int, pad: int):
 
 def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
     """torch-semantics transposed conv along one spatial axis of
-    channels-last input, via input dilation + flipped kernel.
+    channels-last input. Output length (L-1)*s + k - 2p.
 
     ``x``: [..., L, C_in] with the target axis moved to -2.
-    ``kernel``: [k, in, out] (flax layout). Output length (L-1)*s + k - 2p.
+    ``kernel``: [k, in, out] (flax layout).
+
+    Default lowering is the subpixel (polyphase) decomposition: phase r
+    of the output is a plain (k/s)-tap correlation with sub-kernel
+    w[s*a + r], so the whole op is k/s slice+matmuls followed by a
+    phase-interleaving reshape — exactly the algorithmic FLOPs. The
+    lax.conv_general_dilated(lhs_dilation=s) lowering (``AERO_CONVT=xla``
+    reverts) makes XLA:TPU materialize the zero-dilated input and spend
+    ~s x the MACs on inserted zeros, in forward AND in its transpose
+    ops inside grad (measured: see PERF.md, decoder upsample rows).
     """
     k = kernel.shape[0]
     cd = compute_dtype()
@@ -234,15 +244,130 @@ def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
     x = x.astype(cd)
     lead = x.shape[:-2]
     x2 = x.reshape(-1, x.shape[-2], x.shape[-1])
-    out = jax.lax.conv_general_dilated(
-        x2,
-        jnp.flip(kernel, 0),
-        window_strides=(1,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
+    if stride > 1 and os.environ.get("AERO_CONVT", "subpixel") == "subpixel":
+        out = _conv_transpose_subpixel(x2, kernel, stride, padding)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x2,
+            jnp.flip(kernel, 0),
+            window_strides=(1,),
+            padding=[(k - 1 - padding, k - 1 - padding)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
     return out.reshape(*lead, out.shape[-2], out.shape[-1])
+
+
+def _conv_transpose_subpixel(x2, kernel, s: int, padding: int,
+                             out_len: int | None = None):
+    """Polyphase transposed conv: no dilated conv op, no zero math.
+
+    Derivation: the full (pad-free) output obeys
+    ``y[s*q + r] = sum_a x[q - a] * w[s*a + r]`` (write the transposed
+    conv's output index as ``o = s*i + j``, then split ``j = s*a + r``).
+    So each output phase r is an A-tap correlation (A = ceil(k/s)) of x
+    with the phase's sub-kernel — computed here as A shifted
+    slice+matmuls whose (q, r*D) result interleaves into y by one
+    row-major reshape. MACs = s*Q*A*C*D == the algorithmic count; the
+    backward of slices/matmuls is again slices/matmuls (no lhs_dilation
+    anywhere in the grad graph).
+
+    ``x2``: [N, L, C]; ``kernel``: [k, C, D] un-flipped (torch taps).
+    """
+    kk, C, D = kernel.shape
+    A = -(-kk // s)
+    if A * s != kk:  # pad kernel taps to a whole number of phases
+        kernel = jnp.pad(kernel, ((0, A * s - kk), (0, 0), (0, 0)))
+    n, L, _ = x2.shape
+    Q = L + A - 1
+    full = s * Q  # == (L-1)*s + A*s
+    xp = jnp.pad(x2, ((0, 0), (A - 1, A - 1), (0, 0)))
+    # wr[a, c, r*D + d] = kernel[s*a + r, c, d]
+    wr = kernel.reshape(A, s, C, D).transpose(0, 2, 1, 3).reshape(A, C, s * D)
+    y = None
+    for a in range(A):
+        sl = jax.lax.slice_in_dim(xp, A - 1 - a, A - 1 - a + Q, axis=1)
+        term = sl @ wr[a]  # [N, Q, s*D]
+        y = term if y is None else y + term
+    y = y.reshape(n, full, D)
+    # Default: torch output length — trims both the padding and (for
+    # k % s != 0) the all-zero tail contributed by the phase-padded
+    # kernel taps. Callers that need the grad-of-strided-conv semantics
+    # pass out_len=L_input explicitly: the torch trim would DROP input
+    # rows the final strided window does touch whenever s does not
+    # divide (L + 2p - k).
+    if out_len is None:
+        out_len = (L - 1) * s + kk - 2 * padding
+    end = padding + out_len
+    if end > full:  # rows beyond every window's reach: zero
+        y = jnp.pad(y, ((0, 0), (0, end - full), (0, 0)))
+    return jax.lax.slice_in_dim(y, padding, end, axis=1)
+
+
+def _strided_conv1d_raw(x, w, stride: int, padding: int):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+def strided_conv1d_polygrad(x, w, stride: int, padding: int):
+    """Dense stride-s conv1d on [N, L, C] whose INPUT-gradient avoids
+    XLA's lhs_dilation lowering.
+
+    Forward is XLA's native strided conv (optimal — window_strides skip
+    input, no zero MACs). But autodiff's grad-wrt-input is a transposed
+    conv that XLA lowers with ``lhs_dilation == stride``, materializing
+    the zero-dilated cotangent and spending ~stride x the algorithmic
+    MACs (the same pathology `_conv_transpose_subpixel` removes in
+    forward transposed convs). This wrapper keeps XLA's forward and
+    weight-gradient (rhs-dilated conv — already zero-free) and computes
+    the input-gradient by the polyphase identity
+    ``dx = convT(dy, w.swap(in,out))`` via `_conv_transpose_subpixel`,
+    zero-padding the tail rows the strided window never touched.
+
+    NOT a proven win on the GAN discriminators' stride-4 k=41
+    downsamplers (the intended target): step-level A/Bs on v5e were
+    contradictory inside the tunnel's noise band (poly 251.4 vs xla
+    240.5 one session; xla 262.4 the next) — see PERF.md and
+    tools/convgrad_ab.py (the latency-compensated isolated bench that
+    decides it). Default is XLA autodiff; opt in with AERO_CONVGRAD=
+    poly. Contrast: the *forward* subpixel ConvTranspose lowering
+    (AERO_CONVT) is a measured back-to-back win at the generator's
+    small-k/s geometry — the two knobs are independent measurements,
+    not one rule.
+    """
+    if stride <= 1 or os.environ.get("AERO_CONVGRAD", "xla") != "poly":
+        return _strided_conv1d_raw(x, w, stride, padding)
+    return _polygrad_call(x, w, stride, padding)
+
+
+def _make_polygrad():
+    def fn(stride, padding, x, w):
+        return _strided_conv1d_raw(x, w, stride, padding)
+
+    def fwd(stride, padding, x, w):
+        return fn(stride, padding, x, w), (x, w)
+
+    def bwd(stride, padding, res, dy):
+        x, w = res
+        dx = _conv_transpose_subpixel(dy, jnp.swapaxes(w, 1, 2),
+                                      stride, padding,
+                                      out_len=x.shape[1])
+        # weight grad: XLA's own transpose rule is an rhs-dilated conv
+        # (taps spread out, every MAC on real data) — reuse it via
+        # linear_transpose, which emits ONLY the transposed conv (a
+        # jax.vjp here would leave a dead primal conv in the jaxpr and
+        # inflate count_flops' pre-DCE accounting).
+        (dw,) = jax.linear_transpose(
+            lambda ww: fn(stride, padding, x, ww), w)(dy)
+        return dx.astype(x.dtype), dw
+
+    f = jax.custom_vjp(fn, nondiff_argnums=(0, 1))
+    f.defvjp(fwd, bwd)
+    return lambda x, w, stride, padding: f(stride, padding, x, w)
+
+
+_polygrad_call = _make_polygrad()
 
 
 class ConvTranspose1d(nn.Module):

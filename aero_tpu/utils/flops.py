@@ -76,7 +76,14 @@ def _conv_flops(eqn) -> int:
     # 2 * every output element * taps per output element. Grouping is
     # already reflected in cin_per_group; batch_group_count likewise
     # shrinks the per-output contraction via the rhs shape.
-    return 2 * _prod(out) * cin_per_group * k_spatial
+    #
+    # lhs_dilation (transposed convs: ConvTranspose lowers with
+    # lhs_dilation == stride) inserts L-1 zeros between input elements,
+    # so on average only k/L of the kernel taps per output touch real
+    # data — the *algorithmic* FLOPs are dense/prod(L). Counting dense
+    # taps here would overstate decoder FLOPs (and MFU) by ~stride x.
+    lhs_dil = _prod(eqn.params.get("lhs_dilation") or ())
+    return (2 * _prod(out) * cin_per_group * k_spatial) // max(lhs_dil, 1)
 
 
 def _sub_jaxprs(value):
@@ -159,7 +166,14 @@ _PEAKS_BF16 = (
 def peak_flops_per_sec(device=None) -> float | None:
     """bf16 dense peak of the current (or given) device, or None if the
     platform has no published MXU peak (e.g. CPU). Override with
-    ``AERO_PEAK_TFLOPS`` (in TFLOP/s) for unrecognized device kinds."""
+    ``AERO_PEAK_TFLOPS`` (in TFLOP/s) for unrecognized device kinds.
+
+    The peak is PER CHIP — multi-device callers must scale by the
+    participating device count. It is always the bf16 MXU ceiling: under
+    XLA's DEFAULT precision, float32 matmuls/convs also execute as
+    single bf16 passes on the MXU, so the same denominator measures
+    hardware utilization for precision=float32 runs (a precision=HIGHEST
+    run — not a bench mode here — would need a ~3-6x lower ceiling)."""
     env = os.environ.get("AERO_PEAK_TFLOPS")
     if env:
         return float(env) * 1e12

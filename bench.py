@@ -116,10 +116,14 @@ def bench_train(args):
     dt = statistics.median(reps)
 
     # Analytic matmul/conv FLOPs of ONE full step (gen fwd+bwd, all disc
-    # passes, both Adam updates) -> MFU vs the chip's bf16 dense peak.
+    # passes, both Adam updates) -> MFU vs the mesh's aggregate bf16
+    # dense peak. count_flops sees the GLOBAL sharded program, so the
+    # denominator must scale by the participating device count or a
+    # multi-chip run would report ~n_dev x the true per-chip MFU.
     fc = count_flops(step, state, lr, hr)
+    n_dev = int(mesh.devices.size)
     peak = peak_flops_per_sec()
-    step_mfu = mfu(fc.total, dt, peak)
+    step_mfu = mfu(fc.total, dt, peak * n_dev if peak else None)
 
     aud = batch * float(exp.segment)
     print(json.dumps({
@@ -132,7 +136,9 @@ def bench_train(args):
         "batch": batch,
         "model_tflops": round(fc.total / 1e12, 4),
         "mfu": round(step_mfu, 4) if step_mfu is not None else None,
-        "peak_tflops": round(peak / 1e12, 1) if peak else None,
+        "devices": n_dev,
+        "peak_tflops": round(peak * n_dev / 1e12, 1) if peak else None,
+        "peak_dtype": "bf16",
     }))
 
 
@@ -222,6 +228,7 @@ def main():
         "model_tflops": round(fc.total / 1e12, 4),
         "mfu": round(fwd_mfu, 4) if fwd_mfu is not None else None,
         "peak_tflops": round(peak / 1e12, 1) if peak else None,
+        "peak_dtype": "bf16",
     }))
 
 

@@ -48,6 +48,38 @@ def test_grouped_conv():
     assert fc.total == 2 * (2 * 8 * 16) * 2 * 3
 
 
+def test_transposed_conv_counts_algorithmic_not_dense():
+    # ConvTranspose(stride 4, kernel 8) lowers to lhs_dilation=(4,):
+    # ~3 of every 4 dense taps hit inserted zeros, so algorithmic FLOPs
+    # are dense/4. Dense counting would inflate decoder MFU ~stride x.
+    x = jnp.ones((2, 4, 16))
+    w = jnp.ones((8, 4, 8))
+    fc = count_flops(
+        lambda a, b: lax.conv_general_dilated(
+            a, b, (1,), [(2, 5)], lhs_dilation=(4,),
+            dimension_numbers=("NCH", "OIH", "NCH")),
+        x, w)
+    out_t = (16 - 1) * 4 + 1 + 2 + 5 - 8 + 1  # dilated + pads - k + 1
+    assert fc.total == (2 * (2 * 8 * out_t) * 4 * 8) // 4
+
+
+def test_flax_conv_transpose_matches_manual_count():
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.ConvTranspose(8, (8,), strides=(4,))(x)
+
+    m = M()
+    x = jnp.ones((2, 64, 4))  # NHC
+    v = m.init(jax.random.PRNGKey(0), x)
+    fc = count_flops(lambda vv, xx: m.apply(vv, xx), v, x)
+    out_t = 64 * 4
+    # conv part: 2 * B*out_t*Cout * Cin * K / stride; bias add excluded
+    assert fc["conv_general_dilated"] == (2 * (2 * out_t * 8) * 4 * 8) // 4
+
+
 def test_scan_multiplies():
     w = jnp.ones((16, 16))
     c0 = jnp.ones((8, 16))

@@ -120,6 +120,71 @@ def test_conv_transpose_output_size():
     assert y.shape == (1, 40, 4)
 
 
+def test_conv_transpose_subpixel_matches_xla_lowering():
+    """The default polyphase lowering must be numerically identical to
+    the lhs_dilation XLA form (AERO_CONVT=xla) for every stride/kernel/
+    padding combination the models use — including k % s != 0, where
+    the phase-padded kernel taps must contribute exactly nothing."""
+    from aero_tpu.models.modules import _conv_transpose, _conv_transpose_subpixel
+
+    rng = np.random.default_rng(3)
+    for k, s, p in [(8, 4, 2), (8, 2, 3), (4, 2, 1), (16, 8, 4),
+                    (7, 4, 0), (5, 2, 2), (8, 4, 0), (3, 2, 0)]:
+        x = jnp.asarray(rng.standard_normal((2, 11, 3)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 3, 5)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.flip(w, 0), window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)], lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        got = _conv_transpose_subpixel(x, w, s, p)
+        assert got.shape == ref.shape, (k, s, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"k={k} s={s} p={p}")
+    # stride 1 short-circuits to the XLA form inside _conv_transpose
+    x = jnp.asarray(rng.standard_normal((2, 11, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, 3, 4)).astype(np.float32))
+    y = _conv_transpose(x, w, 1, 2, axis=-2)
+    assert y.shape == (2, 11 + 5 - 1 - 4, 4)
+
+
+def test_strided_conv_polygrad_matches_autodiff(monkeypatch):
+    """The custom-VJP strided conv (polyphase input-gradient, opt-in
+    AERO_CONVGRAD=poly) must match XLA autodiff exactly: forward, dx
+    (incl. the rows past the torch-formula output length that the final
+    strided window DOES touch), and dw — at the discriminators' real
+    tap/stride geometry (k=41, s=4, p=20) and odd-remainder lengths."""
+    from aero_tpu.models.modules import (_strided_conv1d_raw,
+                                         strided_conv1d_polygrad)
+
+    monkeypatch.setenv("AERO_CONVGRAD", "poly")
+
+    rng = np.random.default_rng(7)
+    for k, s, p, L in [(41, 4, 20, 997), (41, 4, 20, 1024), (15, 2, 7, 64),
+                       (8, 4, 2, 57), (5, 3, 1, 40)]:
+        x = jnp.asarray(rng.standard_normal((2, L, 6)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 6, 8)).astype(np.float32))
+        y_ref = _strided_conv1d_raw(x, w, s, p)
+        y_got = strided_conv1d_polygrad(x, w, s, p)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   atol=1e-6)
+        gx_ref, gw_ref = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(_strided_conv1d_raw(a, b, s, p))),
+            argnums=(0, 1))(x, w)
+        gx_got, gw_got = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(strided_conv1d_polygrad(a, b, s, p))),
+            argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_ref),
+                                   atol=2e-5, err_msg=f"dx k={k} s={s} L={L}")
+        np.testing.assert_allclose(np.asarray(gw_got), np.asarray(gw_ref),
+                                   atol=2e-4, err_msg=f"dw k={k} s={s} L={L}")
+    # stride 1 passes through to the raw conv (no custom_vjp)
+    x = jnp.asarray(rng.standard_normal((1, 33, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, 4, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(strided_conv1d_polygrad(x, w, 1, 2)),
+        np.asarray(_strided_conv1d_raw(x, w, 1, 2)), atol=1e-6)
+
+
 def test_local_state_nfreqs_matches_torch_fixed():
     """The reference's nfreqs periodic-bias branch is NameError-dead
     (modules.py:108 uses math.pi without importing math). Inject the
