@@ -139,17 +139,37 @@ class ChunkedInference:
     single chip that amortizes dispatch, and with ``mesh`` given the
     batch is sharded over the data-parallel axis (multi-chip serving of
     one long file). The ragged tail chunk runs separately.
+
+    ``pad_tail=True`` (serving mode, predict.py ``+pad_tail_to_chunk=1``)
+    reflect-pads the ragged tail up to a whole chunk instead, so the
+    whole serving path compiles exactly ONE executable shape — one
+    compile-cache entry, one warmup, one dispatch per file. The output
+    is trimmed back to the exact scaled length. Off by default: the
+    model is not length-invariant (STFT framing, BLSTM, attention see
+    the pad), so tail samples differ slightly from the reference's
+    exact-tail forward (reference predict.py:61-69).
     """
 
     def __init__(self, forward: tp.Callable, sr: int, segment_s: float = 10.0,
-                 batch_chunks: bool = False, mesh=None):
+                 batch_chunks: bool = False, mesh=None,
+                 pad_tail: bool = False):
         self.forward = forward
         self.chunk = int(sr * segment_s)
         self.batch_chunks = batch_chunks
         self.mesh = mesh
+        self.pad_tail = pad_tail
 
     def __call__(self, lr: np.ndarray) -> np.ndarray:
         t = lr.shape[-1]
+        if self.pad_tail and t % self.chunk:
+            pad = self.chunk - t % self.chunk
+            mode = "reflect" if pad < t else "wrap"
+            xp = np.pad(lr, [(0, 0)] * (lr.ndim - 1) + [(0, pad)], mode=mode)
+            y = self(np.ascontiguousarray(xp))
+            # trim to the exact scaled length (scale = out_len/in_len of
+            # the padded run — integer 4x for the canonical 4->16 kHz)
+            out_len = round(t * (y.shape[-1] / xp.shape[-1]))
+            return y[..., :out_len]
         n_chunks = max(1, math.ceil(t / self.chunk))
         if not self.batch_chunks or n_chunks == 1:
             outs = []

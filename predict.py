@@ -83,11 +83,17 @@ def main():
                       bucket_s=float(args.get("eval_bucket_s", 1.0)),
                       mesh=mesh)
     # all full 10 s chunks run as one (optionally mesh-sharded) batch
+    # +pad_tail_to_chunk=1: single-executable serving mode — the ragged
+    # tail is reflect-padded to a full chunk so only ONE jit shape ever
+    # compiles (halves cold warmup; tail samples differ slightly from
+    # the reference's exact-tail forward — see ChunkedInference)
     chunked = ChunkedInference(lambda x: fwd(x), sr,
                                segment_s=SEGMENT_DURATION_SEC,
                                batch_chunks=bool(args.get("batch_chunks",
                                                           True)),
-                               mesh=mesh)
+                               mesh=mesh,
+                               pad_tail=bool(args.get("pad_tail_to_chunk",
+                                                      False)))
 
     x = lr_sig[None]  # [1, C, T]
     # warmup/compile outside the timed region reflects steady-state

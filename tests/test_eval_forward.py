@@ -78,6 +78,43 @@ def test_chunked_batched_matches_sequential():
     np.testing.assert_allclose(bat, seq, atol=2e-4)
 
 
+def test_chunked_pad_tail_single_shape():
+    """pad_tail serving mode: the ragged tail is reflect-padded to a
+    whole chunk so only ONE forward shape runs; output length is exact
+    and the valid region stays close to the exact-tail run (the model
+    is not length-invariant, so equality is approximate by design)."""
+    gen = Aero(**KW)
+    rng = np.random.default_rng(3)
+    x = (0.1 * rng.standard_normal((1, 1, 10500))).astype(np.float32)
+    state = _state(gen, jnp.asarray(x[..., :4000]))
+    fwd = EvalForward(gen, state, scale=4.0, lr_sr=4000, bucket_s=0.5)
+
+    shapes = []
+
+    def spy(z):
+        shapes.append(z.shape[-1])
+        return fwd(z)
+
+    exact = ChunkedInference(fwd, sr=4000, segment_s=1.0,
+                             batch_chunks=True)(x)
+    padded = ChunkedInference(spy, sr=4000, segment_s=1.0,
+                              batch_chunks=True, pad_tail=True)(x)
+    assert set(shapes) == {4000}  # one executable shape, tail included
+    assert padded.shape == exact.shape == (1, 1, 42000)
+    # full chunks identical; tail region correlated but not bit-equal
+    np.testing.assert_allclose(padded[..., :40000], exact[..., :40000],
+                               atol=2e-4)
+    a, b = padded[0, 0, 40000:], exact[0, 0, 40000:]
+    corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-12))
+    assert corr > 0.95, corr
+    # short input (< one chunk) wrap-pads rather than reflect
+    y_short = ChunkedInference(spy, sr=4000, segment_s=1.0,
+                               batch_chunks=True, pad_tail=True)(
+        x[..., :1500])
+    assert y_short.shape == (1, 1, 6000)
+
+
 def test_mesh_sharded_chunked_matches_single_device():
     """Multi-chip serving (predict.py): chunk batch sharded over an
     8-device dp mesh + replicated params must produce the same waveform
