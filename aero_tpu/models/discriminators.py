@@ -191,7 +191,8 @@ class WNConv2d(nn.Module):
         kw = self.kernel_size[1]
         if (kw == 1 and self.stride[1] == 1 and self.padding[1] == 0
                 and self.stride[0] > 1
-                and os.environ.get("AERO_CONVGRAD", "xla") == "poly"):
+                and os.environ.get("AERO_CONVGRAD", "xla") in (
+                    "poly", "polyconv")):
             # MPD geometry: kernel (k,1), stride (s,1) — the W (period)
             # axis is pure batch, so it can fold into batch and run the
             # 1-D strided conv with the polyphase input-gradient. Only

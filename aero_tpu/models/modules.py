@@ -259,18 +259,25 @@ def _conv_transpose(x, kernel, stride: int, padding: int, axis: int):
 
 
 def _conv_transpose_subpixel(x2, kernel, s: int, padding: int,
-                             out_len: int | None = None):
+                             out_len: int | None = None,
+                             variant: str = "matmul"):
     """Polyphase transposed conv: no dilated conv op, no zero math.
 
     Derivation: the full (pad-free) output obeys
     ``y[s*q + r] = sum_a x[q - a] * w[s*a + r]`` (write the transposed
     conv's output index as ``o = s*i + j``, then split ``j = s*a + r``).
     So each output phase r is an A-tap correlation (A = ceil(k/s)) of x
-    with the phase's sub-kernel — computed here as A shifted
-    slice+matmuls whose (q, r*D) result interleaves into y by one
-    row-major reshape. MACs = s*Q*A*C*D == the algorithmic count; the
-    backward of slices/matmuls is again slices/matmuls (no lhs_dilation
-    anywhere in the grad graph).
+    with the phase's sub-kernel. Two lowerings of that correlation, both
+    exactly the algorithmic MACs (= s*Q*A*C*D) and both lhs_dilation-free
+    in their own grads:
+
+    - ``variant="matmul"``: A shifted slice+matmuls whose (q, r*D)
+      results interleave into y by one row-major reshape. Good when A is
+      small (the generator decoders: k=8, s in (2,4) -> A<=4).
+    - ``variant="conv"``: ONE plain stride-1 dense conv with kernel
+      [A, C, s*D] followed by the same interleave reshape — a single
+      well-tiled pass where the matmul form would fragment into A
+      slice+GEMMs (the discriminators' k=41/s=4 input-gradient: A=11).
 
     ``x2``: [N, L, C]; ``kernel``: [k, C, D] un-flipped (torch taps).
     """
@@ -284,11 +291,18 @@ def _conv_transpose_subpixel(x2, kernel, s: int, padding: int,
     xp = jnp.pad(x2, ((0, 0), (A - 1, A - 1), (0, 0)))
     # wr[a, c, r*D + d] = kernel[s*a + r, c, d]
     wr = kernel.reshape(A, s, C, D).transpose(0, 2, 1, 3).reshape(A, C, s * D)
-    y = None
-    for a in range(A):
-        sl = jax.lax.slice_in_dim(xp, A - 1 - a, A - 1 - a + Q, axis=1)
-        term = sl @ wr[a]  # [N, Q, s*D]
-        y = term if y is None else y + term
+    if variant == "conv":
+        # y[q] = sum_a xp[q + (A-1-a)] @ wr[a]: a VALID cross-correlation
+        # over xp with the tap order flipped.
+        y = jax.lax.conv_general_dilated(
+            xp, jnp.flip(wr, 0), window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NWC", "WIO", "NWC"))  # [N, Q, s*D]
+    else:
+        y = None
+        for a in range(A):
+            sl = jax.lax.slice_in_dim(xp, A - 1 - a, A - 1 - a + Q, axis=1)
+            term = sl @ wr[a]  # [N, Q, s*D]
+            y = term if y is None else y + term
     y = y.reshape(n, full, D)
     # Default: torch output length — trims both the padding and (for
     # k % s != 0) the all-zero tail contributed by the phase-padded
@@ -325,18 +339,27 @@ def strided_conv1d_polygrad(x, w, stride: int, padding: int):
     ``dx = convT(dy, w.swap(in,out))`` via `_conv_transpose_subpixel`,
     zero-padding the tail rows the strided window never touched.
 
-    NOT a proven win on the GAN discriminators' stride-4 k=41
-    downsamplers (the intended target): step-level A/Bs on v5e were
-    contradictory inside the tunnel's noise band (poly 251.4 vs xla
-    240.5 one session; xla 262.4 the next) — see PERF.md and
-    tools/convgrad_ab.py (the latency-compensated isolated bench that
-    decides it). Default is XLA autodiff; opt in with AERO_CONVGRAD=
-    poly. Contrast: the *forward* subpixel ConvTranspose lowering
-    (AERO_CONVT) is a measured back-to-back win at the generator's
-    small-k/s geometry — the two knobs are independent measurements,
-    not one rule.
+    Variants (AERO_CONVGRAD):
+
+    - ``xla`` (default): plain autodiff, lhs_dilation input-grad.
+    - ``poly``: input-grad via `_conv_transpose_subpixel` as A=ceil(k/s)
+      slice+matmuls.
+    - ``polyconv``: input-grad as ONE dense stride-1 conv with kernel
+      [A, C, s*D] + interleave reshape — algorithmic MACs in a single
+      well-tiled pass (removes the fragmentation objection).
+
+    SETTLED (tools/convgrad_ab.py, isolated latency-compensated
+    melgan-MSD backward on v5e, B=16 T=32000 bf16): xla 15.20 <
+    polyconv 16.04 < poly 19.18 ms — XLA's dilated-conv lowering
+    already avoids paying for the inserted zeros at this k=41/s=4
+    geometry, so the ~4x nominal-MAC saving buys nothing; both variants
+    stay opt-in as a documented negative result (PERF.md). Contrast:
+    the *forward* subpixel ConvTranspose lowering (AERO_CONVT) is a
+    measured back-to-back win at the generator's small-k/s geometry —
+    the knobs are independent measurements, not one rule.
     """
-    if stride <= 1 or os.environ.get("AERO_CONVGRAD", "xla") != "poly":
+    if stride <= 1 or os.environ.get("AERO_CONVGRAD", "xla") not in (
+            "poly", "polyconv"):
         return _strided_conv1d_raw(x, w, stride, padding)
     return _polygrad_call(x, w, stride, padding)
 
@@ -350,9 +373,11 @@ def _make_polygrad():
 
     def bwd(stride, padding, res, dy):
         x, w = res
+        variant = ("conv" if os.environ.get("AERO_CONVGRAD") == "polyconv"
+                   else "matmul")
         dx = _conv_transpose_subpixel(dy, jnp.swapaxes(w, 1, 2),
                                       stride, padding,
-                                      out_len=x.shape[1])
+                                      out_len=x.shape[1], variant=variant)
         # weight grad: XLA's own transpose rule is an rhs-dilated conv
         # (taps spread out, every MAC on real data) — reuse it via
         # linear_transpose, which emits ONLY the transposed conv (a
@@ -862,6 +887,13 @@ class LocalState(nn.Module):
             freq_q = Conv1d(heads * self.nfreqs, 1, name="query_freqs")(x)
             freq_q = freq_q.reshape(b, t, heads, self.nfreqs) \
                 / math.sqrt(self.nfreqs)
+
+        # Diagnostic capture for offline analysis (tools/attn_band_probe
+        # reads these to measure how localized the trained softmax is).
+        # flax sow is a no-op unless apply() makes 'intermediates'
+        # mutable, so this costs nothing in training/serving.
+        self.sow("intermediates", "attn_inputs",
+                 (queries, keys, content, decay_w))
 
         from aero_tpu.ops import attention as fused_attn
 

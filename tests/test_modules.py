@@ -2,6 +2,7 @@
 BLSTM chunk stitching, unfold parity, conv-transpose output sizes."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -136,10 +137,12 @@ def test_conv_transpose_subpixel_matches_xla_lowering():
             x, jnp.flip(w, 0), window_strides=(1,),
             padding=[(k - 1 - p, k - 1 - p)], lhs_dilation=(s,),
             dimension_numbers=("NWC", "WIO", "NWC"))
-        got = _conv_transpose_subpixel(x, w, s, p)
-        assert got.shape == ref.shape, (k, s, p)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-5, err_msg=f"k={k} s={s} p={p}")
+        for variant in ("matmul", "conv"):
+            got = _conv_transpose_subpixel(x, w, s, p, variant=variant)
+            assert got.shape == ref.shape, (k, s, p, variant)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5,
+                err_msg=f"k={k} s={s} p={p} {variant}")
     # stride 1 short-circuits to the XLA form inside _conv_transpose
     x = jnp.asarray(rng.standard_normal((2, 11, 3)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((5, 3, 4)).astype(np.float32))
@@ -147,16 +150,19 @@ def test_conv_transpose_subpixel_matches_xla_lowering():
     assert y.shape == (2, 11 + 5 - 1 - 4, 4)
 
 
-def test_strided_conv_polygrad_matches_autodiff(monkeypatch):
+@pytest.mark.parametrize("mode", ["poly", "polyconv"])
+def test_strided_conv_polygrad_matches_autodiff(monkeypatch, mode):
     """The custom-VJP strided conv (polyphase input-gradient, opt-in
-    AERO_CONVGRAD=poly) must match XLA autodiff exactly: forward, dx
-    (incl. the rows past the torch-formula output length that the final
-    strided window DOES touch), and dw — at the discriminators' real
-    tap/stride geometry (k=41, s=4, p=20) and odd-remainder lengths."""
+    AERO_CONVGRAD=poly|polyconv) must match XLA autodiff exactly:
+    forward, dx (incl. the rows past the torch-formula output length
+    that the final strided window DOES touch), and dw — at the
+    discriminators' real tap/stride geometry (k=41, s=4, p=20) and
+    odd-remainder lengths. ``poly`` lowers dx as A slice+matmuls,
+    ``polyconv`` as one dense stride-1 conv; both must agree with XLA."""
     from aero_tpu.models.modules import (_strided_conv1d_raw,
                                          strided_conv1d_polygrad)
 
-    monkeypatch.setenv("AERO_CONVGRAD", "poly")
+    monkeypatch.setenv("AERO_CONVGRAD", mode)
 
     rng = np.random.default_rng(7)
     for k, s, p, L in [(41, 4, 20, 997), (41, 4, 20, 1024), (15, 2, 7, 64),

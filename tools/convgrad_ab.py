@@ -90,7 +90,8 @@ def main():
         return run, trivial
 
     results = {}
-    for mode in ("xla", "poly", "xla", "poly"):  # interleave vs drift
+    for mode in ("xla", "poly", "polyconv",
+                 "xla", "poly", "polyconv"):  # interleave vs drift
         run, trivial = make(mode)
         t_run = timed(run, params, x)
         t_triv = timed(trivial, params, x)
