@@ -897,9 +897,20 @@ class LocalState(nn.Module):
 
         from aero_tpu.ops import attention as fused_attn
 
+        # Opt-in banded attention (AERO_ATTN_BAND=<half-width>): restrict
+        # the softmax to |t - s| <= band. Measured DOUBLE negative on
+        # the r4 trained checkpoint — the model learns GLOBAL attention
+        # (decay slopes -> ~1e-10) so banding is quality-unsafe, and
+        # W=128 was also slower end-to-end (PERF.md 'Attention is
+        # global'). Probe a checkpoint with tools/attn_band_probe.py
+        # before ever enabling.
+        band = int(os.environ.get("AERO_ATTN_BAND", "0") or 0)
         use_pallas = (t > 2 * self.block_q and not self.nfreqs
                       and fused_attn.pallas_available())
-        if use_pallas:
+        if band > 0 and not self.nfreqs and t > 2 * band:
+            result = fused_attn.banded_local_attention(
+                queries, keys, content, decay_w, band)
+        elif use_pallas:
             # Flash-style Pallas kernel: no T x T materialization at all.
             result = fused_attn.fused_local_attention(queries, keys, content,
                                                       decay_w)

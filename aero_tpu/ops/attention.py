@@ -100,6 +100,143 @@ def blockwise_attention(q, k, content, decay_w, block_q: int = 512):
     return out[:, :t]
 
 
+def banded_reference_attention(q, k, content, decay_w, band: int):
+    """Dense reference for BANDED local attention: identical to
+    ``reference_attention`` except keys with |t - s| > band are excluded
+    from the softmax. The approximation the banded kernels compute.
+    """
+    b, t, h, c = q.shape
+    scores = jnp.einsum("bthc,bshc->bhts", k, q,
+                        preferred_element_type=jnp.float32)
+    idx = jnp.arange(t, dtype=scores.dtype)
+    delta = jnp.abs(idx[:, None] - idx[None, :])  # [t, s]
+    scores = scores - delta[None, None] * (
+        decay_w.transpose(0, 2, 1)[:, :, None, :].astype(scores.dtype))
+    scores = jnp.where(jnp.eye(t, dtype=bool)[None, None], -100.0, scores)
+    scores = jnp.where(delta[None, None] > band, -jnp.inf, scores)
+    weights = jax.nn.softmax(scores, axis=2)
+    return jnp.einsum("bhts,bthc->bshc", weights.astype(content.dtype),
+                      content)
+
+
+def banded_blockwise_attention(q, k, content, decay_w, band: int,
+                               block_q: int = 256):
+    """Banded attention as a checkpointed query-block scan: each query
+    block attends only to the static-size key window
+    ``[q_lo - band, q_hi + band]`` (clipped), sliced with
+    ``lax.dynamic_slice``. Compute AND memory are O(T * (2*band + bq))
+    instead of O(T^2); autodiff-safe anywhere (the memory-bounded
+    fallback and the backward oracle for the banded Pallas kernel).
+    """
+    b, t, h, c = q.shape
+    win = 2 * band + block_q
+    if win >= t:
+        # window covers every key: dense banded (still the banded
+        # SEMANTICS — must agree with the banded Pallas kernel, it is
+        # the custom_vjp backward oracle)
+        return banded_reference_attention(q, k, content, decay_w, band)
+    n_blocks = -(-t // block_q)
+    pad = n_blocks * block_q - t
+    q_p = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    w_p = jnp.pad(decay_w, ((0, 0), (0, pad), (0, 0)))
+    q_blocks = q_p.reshape(b, n_blocks, block_q, h, c).transpose(1, 0, 2, 3, 4)
+    w_blocks = w_p.reshape(b, n_blocks, block_q, h).transpose(1, 0, 2, 3)
+    s_blocks = jnp.arange(n_blocks * block_q).reshape(n_blocks, block_q)
+    starts = jnp.clip(s_blocks[:, 0] - band, 0, t - win)
+
+    @jax.checkpoint
+    def block(qb, wb, sb, start):
+        k_win = jax.lax.dynamic_slice(k, (0, start, 0, 0), (b, win, h, c))
+        v_win = jax.lax.dynamic_slice(content, (0, start, 0, 0),
+                                      (b, win, h, c))
+        t_idx = (start + jnp.arange(win)).astype(jnp.float32)  # all real
+        scores = jnp.einsum("bthc,bshc->bhts", k_win, qb,
+                            preferred_element_type=jnp.float32)
+        s_f = sb.astype(jnp.float32)
+        delta = jnp.abs(t_idx[:, None] - s_f[None, :])
+        scores = scores - delta[None, None] * (
+            wb.transpose(0, 2, 1)[:, :, None, :].astype(scores.dtype))
+        scores = jnp.where((t_idx[:, None] == s_f[None, :])[None, None],
+                           -100.0, scores)
+        # band mask on a CLAMPED query index so padded tail queries
+        # (s >= t) still see >= 1 finite score (their rows are trimmed,
+        # but NaNs would trip debug_nans)
+        s_eff = jnp.minimum(s_f, float(t - 1))
+        band_ok = jnp.abs(t_idx[:, None] - s_eff[None, :]) <= band
+        scores = jnp.where(band_ok[None, None], scores, -jnp.inf)
+        weights = jax.nn.softmax(scores, axis=2)
+        return jnp.einsum("bhts,bthc->bshc", weights.astype(v_win.dtype),
+                          v_win)
+
+    def body(_, args):
+        qb, wb, sb, start = args
+        return None, block(qb, wb, sb, start)
+
+    _, out = jax.lax.scan(body, None, (q_blocks, w_blocks, s_blocks, starts))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * block_q, h, c)
+    return out[:, :t]
+
+
+def _pallas_kernel_banded(q_ref, k_ref, v_ref, w_ref, o_ref, *,
+                          block_k: int, t_real: int, band: int):
+    """Banded variant of ``_pallas_kernel``: one (batch*head,
+    query-block) program that visits only the key blocks intersecting
+    the band ``|t - s| <= band`` — a STATIC trip count of
+    ceil((2*band + bq)/bk) + 1 iterations with the block index clamped
+    into range and out-of-band/out-of-range contributions masked to
+    -inf. Compute drops from O(T) to O(band) key columns per query.
+    """
+    _, bq, c = q_ref.shape
+    t_pad = k_ref.shape[1]
+    n_kb = t_pad // block_k
+
+    q = q_ref[0, :, :]
+    w = w_ref[0, :, :]  # [BQ, 1]
+    j = pl.program_id(1)
+    q_lo = j * bq
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)[:, 0] + q_lo
+    # clamp the block's query range into the REAL rows so padded tail
+    # queries still get >= 1 finite score (rows trimmed by the caller)
+    s_eff = jnp.minimum(s_idx, t_real - 1)
+    lo_key = jnp.maximum(jnp.minimum(q_lo, t_real - 1) - band, 0)
+    kb_lo = lo_key // block_k
+    n_iter = (2 * band + bq) // block_k + 2  # static
+
+    def body(i, carry):
+        m_i, l_i, acc = carry
+        # clamp for safe addressing; a clamped (duplicate) iteration is
+        # fully masked below via `valid`, so it contributes exp(-inf)=0
+        valid = kb_lo + i < n_kb
+        kb = jnp.minimum(kb_lo + i, n_kb - 1)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t_idx = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                 + kb * block_k)
+        delta = jnp.abs(s_idx[:, None] - t_idx).astype(s.dtype)
+        s = s - w * delta
+        s = jnp.where(s_idx[:, None] == t_idx, -100.0, s)
+        in_band = jnp.abs(s_eff[:, None] - t_idx) <= band
+        s = jnp.where(valid & in_band & (t_idx < t_real), s, -jnp.inf)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # m_new finite: self block always visited
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), -100.0, jnp.float32)  # finite: exp never NaNs
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, c), jnp.float32)
+    _, l_fin, acc_fin = jax.lax.fori_loop(0, n_iter, body, (m0, l0, acc0))
+    o_ref[0, :, :] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
 def _pallas_kernel(q_ref, k_ref, v_ref, w_ref, o_ref, *, block_k: int,
                    t_real: int):
     """One (batch*head, query-block) program.
@@ -396,6 +533,97 @@ def pallas_attention_bwd(q, k, content, decay_w, out, g, block_q: int = 256):
 
     dwu = dw[:, :t, 0].reshape(b, h, t)
     return unfold(dq), unfold(dk), unfold(dv), jnp.moveaxis(dwu, 1, 2)
+
+
+def banded_pallas_attention(q, k, content, decay_w, band: int,
+                            block_q: int = 128, block_k: int = 128):
+    """Banded Pallas attention. Shapes as ``reference_attention``;
+    computes ``banded_reference_attention`` semantics. K/V rows stage
+    whole-T in VMEM (same budget as the gridded exact kernel, so
+    t <= MAX_PALLAS_T), but the score/AV compute per query block visits
+    only ~(2*band + bq)/bk key blocks instead of T/bk — the win, since
+    the exact kernel is score-emission bound (PERF.md 'Attention')."""
+    b, t, h, c = q.shape
+    assert t <= MAX_PALLAS_T, "banded pallas stages whole-T K/V in VMEM"
+    t_q = round_up(t, block_q)
+    t_k = round_up(max(t, block_k), block_k)
+    c_pad = max(128, round_up(c, 128))
+
+    def fold(x, t_pad):
+        x = jnp.moveaxis(x, 2, 1).reshape(b * h, t, c)  # [BH, T, C]
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, c_pad - c)))
+
+    qf = fold(q, t_q)
+    kf = fold(k, t_k)
+    vf = fold(content, t_k)
+    wf = jnp.moveaxis(decay_w, 2, 1).reshape(b * h, t, 1)
+    wf = jnp.pad(wf, ((0, 0), (0, t_q - t), (0, 0)))
+
+    grid = (b * h, t_q // block_q)
+    kernel = functools.partial(_pallas_kernel_banded, block_k=block_k,
+                               t_real=t, band=band)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t_k, c_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t_k, c_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c_pad), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_q, c_pad), q.dtype),
+        interpret=_INTERPRET,
+    )(qf, kf, vf, wf)
+    out = out[:, :t, :c].reshape(b, h, t, c)
+    return jnp.moveaxis(out, 1, 2)
+
+
+def _banded_primal(q, k, content, decay_w, band):
+    if q.shape[1] <= MAX_PALLAS_T and pallas_available():
+        return banded_pallas_attention(q, k, content, decay_w, band)
+    return banded_blockwise_attention(q, k, content, decay_w, band)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def banded_local_attention(q, k, content, decay_w, band: int):
+    """LocalState attention restricted to the band |t - s| <= band.
+
+    An APPROXIMATION of ``fused_local_attention`` whose error is the
+    dropped softmax tail mass — bounded by exp(-w_min * band) via the
+    learned decay slopes; measure it for a trained checkpoint with
+    ``tools/attn_band_probe.py``. Opt-in via ``AERO_ATTN_BAND`` (see
+    ``models.modules.LocalState``). Gradients are exact FOR THE BANDED
+    operator (vjp of the checkpointed banded blockwise form), so
+    training with a band on is self-consistent.
+
+    MEASURED NEGATIVE RESULT on the r4 125-epoch checkpoint (PERF.md
+    'Attention is global'): training drives the decay slopes to ~1e-10
+    — the model LEARNS global attention, so banding drops 80-99% of the
+    softmax mass at any practical W (probe: out_rel up to 1.4). And at
+    the model's T=2501/bf16 geometry W=128 measured SLOWER end-to-end
+    (514.8x vs 556.9x realtime, same session): this gridded kernel
+    re-stages whole-T K/V per query block where the exact resident
+    kernel fetches them once. Keep only for checkpoints whose probe
+    shows local attention AND after a fresh speed A/B.
+    """
+    return _banded_primal(q, k, content, decay_w, band)
+
+
+def _banded_fwd(q, k, content, decay_w, band):
+    return _banded_primal(q, k, content, decay_w, band), (q, k, content,
+                                                          decay_w)
+
+
+def _banded_bwd(band, res, g):
+    q, k, content, decay_w = res
+    _, vjp = jax.vjp(
+        lambda *a: banded_blockwise_attention(*a, band), q, k, content,
+        decay_w)
+    return vjp(g)
+
+
+banded_local_attention.defvjp(_banded_fwd, _banded_bwd)
 
 
 def _fla_primal(q, k, content, decay_w):

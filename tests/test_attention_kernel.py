@@ -159,3 +159,77 @@ def test_fused_bwd_mid_t_uses_blockwise_fallback():
     g_ref = jax.grad(loss_ref)((q, k, v, w))
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_banded_blockwise_matches_banded_reference():
+    """Banded blockwise (dynamic_slice key windows) == dense banded
+    reference — values and grads, ragged T, window clipped at both
+    edges."""
+    for t, band, bq in [(300, 64, 64), (137, 32, 64), (512, 100, 128)]:
+        q, k, v, w = _inputs(t=t, seed=11)
+        want = np.asarray(attn.banded_reference_attention(q, k, v, w, band))
+        got = np.asarray(attn.banded_blockwise_attention(q, k, v, w, band,
+                                                         block_q=bq))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"t={t} band={band}")
+
+    q, k, v, w = _inputs(t=300, seed=12)
+
+    def loss_blk(args):
+        return jnp.sum(jnp.sin(
+            attn.banded_blockwise_attention(*args, 64, block_q=64)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.sin(
+            attn.banded_reference_attention(*args, 64)))
+
+    g_blk = jax.grad(loss_blk)((q, k, v, w))
+    g_ref = jax.grad(loss_ref)((q, k, v, w))
+    for name, a, b in zip("qkvw", g_blk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_banded_pallas_matches_banded_reference():
+    """Banded Pallas kernel (static-trip key-block loop, clamp+mask) ==
+    dense banded reference, incl. ragged T where the clamped duplicate
+    last block must contribute nothing."""
+    for t, band in [(300, 64), (137, 32), (1000, 128), (999, 128)]:
+        q, k, v, w = _inputs(t=t, seed=13)
+        want = np.asarray(attn.banded_reference_attention(q, k, v, w, band))
+        got = np.asarray(attn.banded_pallas_attention(q, k, v, w, band,
+                                                      block_q=64,
+                                                      block_k=64))
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"t={t} band={band}")
+
+
+def test_banded_local_attention_fwd_bwd():
+    """The public custom_vjp entry: pallas fwd (interpret), blockwise-vjp
+    bwd — grads must match autodiff of the dense banded reference."""
+    q, k, v, w = _inputs(t=400, seed=14)
+    band = 96
+
+    want = np.asarray(attn.banded_reference_attention(q, k, v, w, band))
+    got = np.asarray(attn.banded_local_attention(q, k, v, w, band))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def loss_banded(args):
+        return jnp.sum(jnp.sin(attn.banded_local_attention(*args, band)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.sin(attn.banded_reference_attention(*args, band)))
+
+    g_b = jax.grad(loss_banded)((q, k, v, w))
+    g_r = jax.grad(loss_ref)((q, k, v, w))
+    for name, a, b in zip("qkvw", g_b, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_banded_wide_band_equals_exact():
+    """band >= T-1 excludes nothing: banded == exact attention."""
+    q, k, v, w = _inputs(t=200, seed=15)
+    want = np.asarray(attn.reference_attention(q, k, v, w))
+    got = np.asarray(attn.banded_local_attention(q, k, v, w, 199))
+    np.testing.assert_allclose(got, want, atol=2e-5)

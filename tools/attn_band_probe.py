@@ -59,15 +59,17 @@ def _kv(argv):
 def band_report(q, k, v, w, widths, tag):
     """q/k/v: [B, T, H, C] f32; w: [B, T, H] (per-query decay slope)."""
     b, t, h, c = q.shape
-    scores = np.einsum("bthc,bshc->bhts", k, q).astype(np.float64)
+    scores = np.einsum("bthc,bshc->bhts", k, q,
+                       optimize=True).astype(np.float32)
     idx = np.arange(t)
-    delta = np.abs(idx[:, None] - idx[None, :])  # [t, s]
-    scores -= delta[None, None] * w.transpose(0, 2, 1)[:, :, None, :]
+    delta = np.abs(idx[:, None] - idx[None, :]).astype(np.float32)  # [t, s]
+    scores -= delta[None, None] * w.transpose(0, 2, 1)[:, :, None, :].astype(
+        np.float32)
     np.einsum("bhtt->bht", scores)[...] = -100.0  # self mask (diag view)
     scores -= scores.max(axis=2, keepdims=True)
     p = np.exp(scores)
     p /= p.sum(axis=2, keepdims=True)  # softmax over keys t
-    out_exact = np.einsum("bhts,bthc->bshc", p, v)
+    out_exact = np.einsum("bhts,bthc->bshc", p, v, optimize=True)
     norm = np.linalg.norm(out_exact, axis=-1)  # [b, h?, ...] -> [b,s,h]
     print(f"\n{tag}: B={b} T={t} H={h} C'={c}")
     wmin = w.min(axis=(0, 1))
@@ -77,11 +79,11 @@ def band_report(q, k, v, w, widths, tag):
     rows = []
     for W in widths:
         inband = (delta <= W)[None, None]  # [1,1,t,s]
-        tail = np.where(inband, 0.0, p).sum(axis=2)  # [b,h,s]
         pb = np.where(inband, p, 0.0)
         pb_sum = pb.sum(axis=2, keepdims=True)
+        tail = 1.0 - pb_sum[:, :, 0]  # [b,h,s]
         pb = pb / np.maximum(pb_sum, 1e-30)
-        out_band = np.einsum("bhts,bthc->bshc", pb, v)
+        out_band = np.einsum("bhts,bthc->bshc", pb, v, optimize=True)
         rel = (np.linalg.norm(out_band - out_exact, axis=-1)
                / np.maximum(norm, 1e-12))
         rows.append((W, tail.max(), float(np.quantile(tail, 0.999)),
@@ -142,8 +144,8 @@ def main():
 
     worst = {}
     for path, (q, k, v, w) in sites:
-        rows = band_report(np.asarray(q, np.float64), np.asarray(k, np.float64),
-                           np.asarray(v, np.float64), np.asarray(w, np.float64),
+        rows = band_report(np.asarray(q, np.float32), np.asarray(k, np.float32),
+                           np.asarray(v, np.float32), np.asarray(w, np.float32),
                            widths, path)
         for W, tm, _, rm, _ in rows:
             a, b_ = worst.get(W, (0.0, 0.0))
