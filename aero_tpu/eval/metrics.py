@@ -34,8 +34,14 @@ VISQOL_MIN_DURATION = 0.48
 _scorer_version: str | None = None
 
 
-def visqol_scorer_version() -> str | None:
-    """Version stamp parsed from the scorer's last successful run."""
+def visqol_scorer_version(visqol_path: str | None = None) -> str | None:
+    """Version stamp parsed from the scorer's last successful run; if no
+    run happened yet in this process and ``visqol_path`` is given, ask
+    the scorer CLI directly (``--version``) and cache the answer — so
+    logs/history carry a stamp even when zero files got scored."""
+    global _scorer_version
+    if _scorer_version is None and visqol_path:
+        _scorer_version = probe_scorer_version(visqol_path)
     return _scorer_version
 
 

@@ -19,6 +19,7 @@ Block-by-block parity targets (reference citations):
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import typing as tp
@@ -905,9 +906,19 @@ class LocalState(nn.Module):
         # global'). Probe a checkpoint with tools/attn_band_probe.py
         # before ever enabling.
         band = int(os.environ.get("AERO_ATTN_BAND", "0") or 0)
+        use_banded = band > 0 and not self.nfreqs and t > 2 * band
+        if band > 0 and not use_banded:
+            # Requested band cannot apply at this site (T too short for
+            # the band, or nfreqs): say so at trace time — otherwise one
+            # run silently mixes banded and exact operators across
+            # layers/shapes and A/Bs become shape-dependent.
+            logging.getLogger(__name__).warning(
+                "AERO_ATTN_BAND=%d requested but attention site t=%d "
+                "nfreqs=%d runs EXACT (band needs t > 2*band and "
+                "nfreqs=0)", band, t, self.nfreqs)
         use_pallas = (t > 2 * self.block_q and not self.nfreqs
                       and fused_attn.pallas_available())
-        if band > 0 and not self.nfreqs and t > 2 * band:
+        if use_banded:
             result = fused_attn.banded_local_attention(
                 queries, keys, content, decay_w, band)
         elif use_pallas:

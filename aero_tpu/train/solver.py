@@ -356,6 +356,10 @@ class Solver:
 
         opts = pkg.get("optimizers") or {}
         exp = self.args.experiment
+        if not opts:
+            logger.warning("torch checkpoint carries no optimizer state; "
+                           "Adam resumes with fresh moments")
+            return host
         if opts.get("optimizer", {}).get("state") \
                 and str(exp.model) == "aero":
             try:
@@ -523,7 +527,10 @@ class Solver:
                     # calibration — stamp every history entry that
                     # carries one (VERDICT r3 §weak-4).
                     metrics[METRICS_KEY_VISQOL_SCORER] = (
-                        eval_metrics.visqol_scorer_version() or "unknown")
+                        eval_metrics.visqol_scorer_version(
+                            self.args.get("visqol_path")
+                            or eval_metrics.default_visqol_path())
+                        or "unknown")
                 if swapped:
                     self.eval_forward.update_state(
                         pmesh.local_state(self.state))

@@ -361,14 +361,32 @@ def import_melgan_state(state_dict: tp.Mapping[str, np.ndarray], params,
 # a module's parameters before its buffers — so the state_dict key
 # order, restricted to parameter keys, IS the parameters() order.
 
-_BUFFER_LEAVES = ("running_mean", "running_var", "num_batches_tracked")
+_BUFFER_LEAVES = ("running_mean", "running_var", "num_batches_tracked",
+                  "weight_u")
 
 
 def torch_param_order(state_dict_keys: tp.Iterable[str]) -> tp.List[str]:
     """Parameter keys of a torch state_dict in ``parameters()`` order
-    (buffers excluded) — the index space of torch Adam state entries."""
-    return [k for k in state_dict_keys
-            if k.split(".")[-1] not in _BUFFER_LEAVES]
+    (buffers excluded) — the index space of torch Adam state entries.
+
+    Buffer leaves: batch-norm stats, plus spectral_norm's power-
+    iteration vectors ``weight_u``/``weight_v`` (registered as buffers;
+    the parameter is ``weight_orig``). ``weight_v`` is ambiguous —
+    weight_norm registers a PARAMETER of the same name — so it is
+    excluded only where a sibling ``weight_u`` marks the module as
+    spectral-normed (torch.nn.utils.spectral_norm vs weight_norm)."""
+    keys = list(state_dict_keys)
+    sn_prefixes = {k[: -len("weight_u")] for k in keys
+                   if k.endswith(".weight_u") or k == "weight_u"}
+    out = []
+    for k in keys:
+        leaf = k.split(".")[-1]
+        if leaf in _BUFFER_LEAVES:
+            continue
+        if leaf == "weight_v" and k[: -len("weight_v")] in sn_prefixes:
+            continue
+        out.append(k)
+    return out
 
 
 def _moment_dicts(opt_state: dict, order: tp.Sequence[str], offset: int = 0):

@@ -59,8 +59,11 @@ def run(args):
     logger.info("Done evaluation.")
     logger.info(bold(f"LSD={lsd} , VISQOL={visqol}"))
     if visqol:
-        from aero_tpu.eval.metrics import visqol_scorer_version
-        logger.info(f"ViSQOL scorer: {visqol_scorer_version() or 'unknown'}"
+        from aero_tpu.eval.metrics import (default_visqol_path,
+                                           visqol_scorer_version)
+        ver = visqol_scorer_version(args.get("visqol_path")
+                                    or default_visqol_path())
+        logger.info(f"ViSQOL scorer: {ver or 'unknown'}"
                     " (MOS comparable only within one scorer stamp)")
     return lsd, visqol
 

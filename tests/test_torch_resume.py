@@ -275,3 +275,24 @@ def _np_opt(osd):
             "exp_avg_sq": ent["exp_avg_sq"].numpy(),
         }
     return {"state": state}
+
+
+def test_torch_param_order_excludes_spectral_norm_buffers():
+    """torch_param_order must reproduce torch's parameters() index space
+    for modules mixing weight_norm (weight_v IS a parameter) and
+    spectral_norm (weight_u/weight_v are BUFFERS) — the hifi MSD's
+    first sub-discriminator is spectral-normed
+    (/root/reference/src/models/discriminators.py:150-156)."""
+    import torch
+    from torch import nn as tnn
+
+    from aero_tpu.train.torch_import import torch_param_order
+
+    m = tnn.Sequential(
+        tnn.utils.weight_norm(tnn.Conv1d(2, 3, 3)),
+        tnn.utils.spectral_norm(tnn.Conv1d(3, 4, 3)),
+        tnn.BatchNorm1d(4),
+    )
+    want = [n for n, _ in m.named_parameters()]
+    got = torch_param_order(list(m.state_dict().keys()))
+    assert got == want, (got, want)

@@ -90,8 +90,19 @@ def _walk(jaxpr, mult, rows, totals):
         elif name == "while":
             _walk(eqn.params["body_jaxpr"].jaxpr, mult, rows, totals)
         elif name == "cond":
+            # max across branches, matching utils/flops.count_flops (the
+            # MFU numerator) — summing would inflate 'executed' totals
+            branch_totals = []
             for br in eqn.params["branches"]:
-                _walk(br.jaxpr, mult, rows, totals)
+                bt = {"conv_algo": 0, "conv_dense": 0, "dot": 0}
+                brows = []
+                _walk(br.jaxpr, mult, brows, bt)
+                branch_totals.append((bt, brows))
+            bt, brows = max(branch_totals,
+                            key=lambda p: sum(p[0].values()))
+            for kk in totals:
+                totals[kk] += bt[kk]
+            rows.extend(brows)
         elif name == "pallas_call":
             grid = getattr(eqn.params.get("grid_mapping"), "grid", ())
             g = _prod(d for d in grid if isinstance(d, int))
