@@ -49,8 +49,11 @@ def probe_scorer_version(visqol_path: str) -> str:
     """Ask the scorer CLI for its version stamp without scoring anything.
 
     First-party scorers answer ``--version`` with a ``VISQOL-COMPAT:``
-    line; anything else (including the official binary) is reported as
-    ``external``."""
+    line; a scorer that RUNS but prints no such line (e.g. the official
+    google/visqol binary dropped in via ``visqol_path``) is ``external``;
+    a probe that cannot run at all (binary missing, crash, timeout) is
+    ``unknown`` — so a broken first-party build is never stamped into
+    history.json as if it were a genuine official-binary run."""
     try:
         # argv-list + cwd (not an interpolated shell string) so paths
         # with spaces/metachars can't silently misclassify the scorer.
@@ -60,7 +63,7 @@ def probe_scorer_version(visqol_path: str) -> str:
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=30)
         return _parse_scorer_version(proc.stdout.decode("utf-8"))
     except Exception:  # noqa: BLE001 - probing must never break eval
-        return "external"
+        return "unknown"
 
 
 def _parse_scorer_version(stdout: str) -> str:
@@ -119,12 +122,17 @@ def get_visqol(ref_sig: np.ndarray, out_sig: np.ndarray, filename: str,
                 out.shape[-1] / target_sr < VISQOL_MIN_DURATION:
             raise ValueError("File duration is too small.")
 
-        cmd = (f"cd {visqol_path}; ./bazel-bin/visqol "
-               f"--reference_file {tmp_reference} "
-               f"--degraded_file {tmp_estimation} ")
+        # argv-list + cwd, NOT an interpolated shell string: the reference
+        # (metrics.py:108-121) uses `cd {path}; ./bazel-bin/visqol ...`
+        # shell=True, where a path or eval filename containing spaces or
+        # shell metachars makes scoring silently return 0.0. Keep the CLI
+        # semantics (run from visqol_path, same flags), not the bug.
+        argv = [os.path.join(visqol_path, "bazel-bin", "visqol"),
+                "--reference_file", tmp_reference,
+                "--degraded_file", tmp_estimation]
         if speech_mode:
-            cmd += "--use_speech_mode"
-        proc = subprocess.run(cmd, shell=True, stdout=subprocess.PIPE,
+            argv.append("--use_speech_mode")
+        proc = subprocess.run(argv, cwd=visqol_path, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
         stdout = proc.stdout.decode("utf-8")
         value = stdout.split("\t")[-1].replace("\n", "")
