@@ -406,19 +406,25 @@ def _moment_dicts(opt_state: dict, order: tp.Sequence[str], offset: int = 0):
         nu[key] = ent["exp_avg_sq"]
         steps.append(int(ent["step"]))
     # torch Adam keeps a per-param step (params whose grad was None in a
-    # step lag behind); optax ScaleByAdamState has one scalar count.
-    # Take the MIN so no param's bias correction assumes updates it
-    # never had (over-correction shrinks the nu_hat denominator and
-    # perturbs exactly the first resumed updates); warn when the
-    # checkpoint's per-param steps actually differ.
-    step = min(steps) if steps else 0
-    if steps and max(steps) != step:
+    # step lag behind); optax ScaleByAdamState has one scalar count. The
+    # common case is all-equal (verified exact by
+    # tests/test_torch_resume.py); for mixed-step checkpoints ANY single
+    # count is an approximation, so take the MODAL step — bias correction
+    # is then exact for the majority of params and only the laggards'
+    # first resumed updates deviate slightly (documented trade, ADVICE r4).
+    if steps:
+        step = max(sorted(set(steps)), key=steps.count)
+    else:
+        step = 0
+    if steps and (max(steps) != min(steps)):
         import logging
         logging.getLogger(__name__).warning(
             "torch Adam checkpoint has unequal per-param steps "
-            "(min %d, max %d); using min — bias correction for the "
-            "most-updated params is slightly conservative.",
-            step, max(steps))
+            "(min %d, max %d); using the modal step %d — bias correction "
+            "is exact for the majority of params, approximate for the "
+            "rest (mixed-step checkpoints cannot resume exactly under a "
+            "single optax count).",
+            min(steps), max(steps), step)
     return mu, nu, step
 
 

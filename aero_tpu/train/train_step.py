@@ -28,7 +28,9 @@ from aero_tpu.losses.adversarial import (
     hifi_discriminator_loss, hifi_feature_loss, hifi_generator_loss,
     melgan_discriminator_loss, melgan_generator_losses,
 )
-from aero_tpu.losses.stft_loss import multi_resolution_stft_loss
+from aero_tpu.losses.stft_loss import (
+    STFT_LOSS_PAD_MARGIN, multi_resolution_stft_loss,
+)
 from aero_tpu.ops.mel import mel_spectrogram
 from aero_tpu.parallel import mesh as pmesh
 
@@ -132,6 +134,20 @@ class LossComputer:
         self.only_features = bool(exp.get("only_features_loss", False))
         self.only_adversarial = bool(exp.get("only_adversarial_loss", False))
         self.feat_lambda = float(exp.get("features_loss_lambda", 100))
+        # Bucketed-exact mode precondition (ADVICE r4): DiscriminatorP's
+        # on-device reflect fold-pad writes period-1 samples past n_valid;
+        # every bucketing call site pads by STFT_LOSS_PAD_MARGIN, so the
+        # margin must cover the largest configured period — otherwise the
+        # dynamic_update_slice start would silently clamp and overwrite
+        # the last valid samples. Guarded here, where periods are static.
+        for name in self.disc_names:
+            periods = getattr(models.get(name), "periods", None)
+            if periods:
+                assert max(periods) - 1 <= STFT_LOSS_PAD_MARGIN, (
+                    f"discriminator '{name}' period {max(periods)} exceeds "
+                    f"the bucket pad margin {STFT_LOSS_PAD_MARGIN}; raise "
+                    "STFT_LOSS_PAD_MARGIN (losses/stft_loss.py) so the "
+                    "bucketed-exact fold-pad stays off the valid samples")
 
     def generator_losses(self, pr, hr, disc_params, disc_state, train,
                          n_valid=None):
