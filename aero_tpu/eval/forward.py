@@ -61,12 +61,19 @@ class EvalForward:
 
     def __init__(self, gen, state, scale: float, lr_sr: int,
                  bucket_s: float = 1.0, return_spec: bool = False,
-                 mesh=None):
+                 mesh=None, aot_dir: tp.Optional[str] = None,
+                 aot_tag: str = ""):
         self.gen = gen
         self.scale = scale
         self.bucket = int(bucket_s * lr_sr)
         self.return_spec = return_spec
         self.mesh = mesh
+        # aot_dir: serialized-executable cache (eval/aot.py) — a warm
+        # process start deserializes the PJRT executable instead of
+        # re-tracing + compile-cache lookup. Single-device calls only
+        # (the mesh path's shardings are not serialized).
+        self.aot_dir = aot_dir
+        self.aot_tag = aot_tag
         self._cache: tp.Dict[int, tp.Any] = {}
         self.update_state(state)  # pins on device (see update_state)
 
@@ -94,7 +101,7 @@ class EvalForward:
                 return self._mesh_state, pmesh.shard_batch(x, self.mesh)
         return self.state, jnp.asarray(x)
 
-    def _fn_for(self, t: int):
+    def _fn_for(self, t: int, call_args: tp.Optional[tuple] = None):
         if t not in self._cache:
             gen = self.gen
             return_spec = self.return_spec
@@ -113,7 +120,18 @@ class EvalForward:
                             (jnp.real(lr_spec), jnp.imag(lr_spec)))
                 return gen.apply(variables, lr, train=False)
 
-            self._cache[t] = fwd
+            if call_args is not None and self.aot_dir and \
+                    call_args[0] is self.state:
+                # single-device serving: load (or build + serialize) the
+                # compiled executable — skips trace AND compile on warm
+                # process starts (PERF.md 'Cold-start predict', r5)
+                from aero_tpu.eval import aot
+
+                self._cache[t] = aot.get_or_compile(
+                    fwd, call_args, self.aot_dir,
+                    f"EvalForward|{self.aot_tag}|spec={return_spec}")
+            else:
+                self._cache[t] = fwd
         return self._cache[t]
 
     def __call__(self, lr: np.ndarray):
@@ -121,7 +139,8 @@ class EvalForward:
         t = lr.shape[-1]
         padded_t = t if self.bucket <= 0 else bucket_target(t, self.bucket)
         x = _pad_reflect_tail(np.asarray(lr, np.float32), padded_t)
-        out = self._fn_for(padded_t)(*self._call_args(x))
+        args = self._call_args(x)
+        out = self._fn_for(padded_t, args)(*args)
         target = int(t * self.scale)
         if self.return_spec:
             pr, (pr_re, pr_im), (lr_re, lr_im) = out
@@ -152,12 +171,13 @@ class ChunkedInference:
 
     def __init__(self, forward: tp.Callable, sr: int, segment_s: float = 10.0,
                  batch_chunks: bool = False, mesh=None,
-                 pad_tail: bool = False):
+                 pad_tail: bool = False, scale: float | None = None):
         self.forward = forward
         self.chunk = int(sr * segment_s)
         self.batch_chunks = batch_chunks
         self.mesh = mesh
         self.pad_tail = pad_tail
+        self.scale = scale
 
     def __call__(self, lr: np.ndarray) -> np.ndarray:
         t = lr.shape[-1]
@@ -166,9 +186,14 @@ class ChunkedInference:
             mode = "reflect" if pad < t else "wrap"
             xp = np.pad(lr, [(0, 0)] * (lr.ndim - 1) + [(0, pad)], mode=mode)
             y = self(np.ascontiguousarray(xp))
-            # trim to the exact scaled length (scale = out_len/in_len of
-            # the padded run — integer 4x for the canonical 4->16 kHz)
-            out_len = round(t * (y.shape[-1] / xp.shape[-1]))
+            # trim to the exact-tail path's int(t*scale) length contract;
+            # the known model scale is authoritative — inferring it from
+            # the padded run's shape ratio can land one sample off for
+            # non-integer-scale experiments (ADVICE r4)
+            if self.scale is not None:
+                out_len = int(t * self.scale)
+            else:
+                out_len = round(t * (y.shape[-1] / xp.shape[-1]))
             return y[..., :out_len]
         n_chunks = max(1, math.ceil(t / self.chunk))
         if not self.batch_chunks or n_chunks == 1:

@@ -79,9 +79,20 @@ def main():
     # params replicated); single chip degenerates to the plain path
     mesh = pmesh.make_mesh(jax.local_devices()) \
         if jax.local_device_count() > 1 else None
+    # AOT-serialized serving executables (+aot=0 disables): warm process
+    # starts deserialize the compiled executable instead of re-tracing
+    # and hitting the XLA compile cache — see eval/aot.py and PERF.md
+    # 'Cold-start predict'. Keyed by config + precision + input shape.
+    aot_dir = None
+    if bool(args.get("aot", True)) and mesh is None:
+        from aero_tpu.eval.aot import default_aot_dir
+
+        aot_dir = default_aot_dir()
+    aot_tag = (f"{exp.name}|{args.get('precision', 'float32')}|"
+               f"bucket={args.get('eval_bucket_s', 1.0)}")
     fwd = EvalForward(models["generator"], state, scale=scale, lr_sr=sr,
                       bucket_s=float(args.get("eval_bucket_s", 1.0)),
-                      mesh=mesh)
+                      mesh=mesh, aot_dir=aot_dir, aot_tag=aot_tag)
     # all full 10 s chunks run as one (optionally mesh-sharded) batch
     # +pad_tail_to_chunk=1: single-executable serving mode — the ragged
     # tail is reflect-padded to a full chunk so only ONE jit shape ever
@@ -93,7 +104,8 @@ def main():
                                                           True)),
                                mesh=mesh,
                                pad_tail=bool(args.get("pad_tail_to_chunk",
-                                                      False)))
+                                                      False)),
+                               scale=scale)
 
     x = lr_sig[None]  # [1, C, T]
     # warmup/compile outside the timed region reflects steady-state

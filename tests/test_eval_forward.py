@@ -113,6 +113,27 @@ def test_chunked_pad_tail_single_shape():
                                batch_chunks=True, pad_tail=True)(
         x[..., :1500])
     assert y_short.shape == (1, 1, 6000)
+    # explicit scale produces the same exact length on the integer case
+    y_scaled = ChunkedInference(spy, sr=4000, segment_s=1.0,
+                                batch_chunks=True, pad_tail=True,
+                                scale=4.0)(x)
+    assert y_scaled.shape == exact.shape
+
+
+def test_chunked_pad_tail_non_integer_scale_trim():
+    """ADVICE r4: the trim must honor the exact-tail path's int(t*scale)
+    contract for non-integer scales — the shape-ratio inference can land
+    one sample off (round vs int on a fractional t*scale)."""
+
+    def fake_fwd(z):  # a 1.5x "model": exactly scale * input length
+        return np.zeros(z.shape[:-1] + (int(z.shape[-1] * 1.5),), np.float32)
+
+    # t=1301, chunk=1000 -> t*scale = 1951.5; int() contract = 1951,
+    # the ratio-round fallback would give 1952
+    x = np.zeros((1, 1, 1301), np.float32)
+    y = ChunkedInference(fake_fwd, sr=1000, segment_s=1.0,
+                         pad_tail=True, scale=1.5)(x)
+    assert y.shape[-1] == int(1301 * 1.5) == 1951, y.shape
 
 
 def test_mesh_sharded_chunked_matches_single_device():
