@@ -6,8 +6,9 @@ r3 #3 called out: the Mosaic-COMPILED code path was exercised only by
 perf benches that check no output values. Runs `fused_local_attention`
 forward AND backward on the real chip at the model's train shape
 (T~500), eval shape (T~2501, where the kernel engages — modules.py
-use_pallas gate) and long-eval shape (T=6891, the blockwise fallback
-past MAX_PALLAS_T), plus the FTB tail kernel at the enc1 shape, and
+use_pallas gate) and long-eval shapes (T=6891..12288 — 27..49 s files,
+the blockwise fallback past MAX_PALLAS_T), plus the FTB tail kernel at
+the enc1 shape, and
 asserts against `reference_attention` / the composed XLA FTB math.
 
 Shapes mirror the canonical model: rows = B*F after the per-freq-row
@@ -90,6 +91,13 @@ def attn_forward_cases():
          jnp.float32, 1e-2),
         ("fwd long T=6891 f32 (blockwise fallback)", 2, 6891,
          jnp.float32, 1e-2),
+        # 30 s+ files (VERDICT r4 #7): ~36 s and ~49 s at the canonical
+        # ~250 frames/s attention rate, deep in the blockwise fallback;
+        # B=1 so the dense reference's [B,H,T,T] f32 scores fit HBM
+        ("fwd long T=9000 f32 (blockwise, 36 s)", 1, 9000,
+         jnp.float32, 1e-2),
+        ("fwd long T=12288 bf16 (blockwise, 49 s)", 1, 12288,
+         jnp.bfloat16, 3e-2),
     ]
     for label, b, t, dtype, tol in cases:
         try:
@@ -118,6 +126,10 @@ def attn_backward_cases():
         ("bwd T=2048 f32 (blockwise vjp past the f32 gate)", 8, 2048,
          jnp.float32, 2e-2),
         ("bwd eval T=2501 f32 (blockwise vjp)", 8, 2501, jnp.float32, 2e-2),
+        # 30 s+ file backward (f32 eval grads on long files, VERDICT r4
+        # #7); B=1 bounds the dense-reference backward's T^2 live set
+        ("bwd long T=6891 f32 (blockwise vjp, 27 s)", 1, 6891,
+         jnp.float32, 2e-2),
     ]
     for label, b, t, dtype, tol in cases:
         try:
