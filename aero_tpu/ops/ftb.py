@@ -16,8 +16,16 @@ both channel mixes, BN-folded bias, ReLU — into a single pass over
 
 Inference path only (BatchNorm folded into Ka/Kb/b2 by the caller);
 training keeps the composed XLA graph. Parity-tested in interpret mode
-(tests/test_ftb_kernel.py). OPT-IN (AERO_FTB_KERNEL=1) until verified
-to compile on real TPU — see pallas_available.
+(tests/test_ftb_kernel.py) and on-chip (tools/pallas_tpu_parity.py).
+
+SETTLED PERF NEGATIVE (r5): with the F-grid below the kernel compiles
+at every encoder shape, but the latency-compensated on-chip A/B
+(/tmp ftb_probe, recorded in PERF.md "FTB tail is at its floor") puts
+the bare composed tail at 5.7 ms (enc0) — already AT the 5-HBM-pass
+traffic roofline — while this kernel measures 51 ms (tiny-K/N MXU
+fragmentation + 2560-cell grid overhead) and the commuted composed
+form ties. Kept OPT-IN (AERO_FTB_KERNEL=1), parity-tested, claiming no
+perf credit.
 """
 
 from __future__ import annotations
@@ -63,9 +71,16 @@ def _kernel(y_ref, x_ref, h_ref, ka_ref, kb_ref, b2_ref, o_ref):
     o_ref[0, :, :, :] = out.astype(o_ref.dtype).reshape(f, tb, c)
 
 
-def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64):
+def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64,
+             block_f: int = 64):
     """x [B, F, T, C]; h [B, T, C]; ka/kb [C, C]; w_freq [F_out==F, F];
     b2 [C]. Returns relu(w_freq @ (h*x) @ ka + x @ kb + b2), [B, F, T, C].
+
+    The F axis is gridded in ``block_f`` rows (r5): Mosaic accepted the
+    whole-F block at enc1 (F=64) but rejected enc0's F=256 ("unsupported
+    shape cast" on the [F*Tb, C] leading merge); since the freq mix runs
+    OUTSIDE the kernel, F blocks are independent, so gridding F reuses
+    exactly the proven F=64 block shape at every layer.
     """
     b, f, t, c = x.shape
     cd = x.dtype
@@ -73,29 +88,36 @@ def ftb_tail(x, h, ka, kb, w_freq, b2, block_t: int = 64):
     if t_pad != t:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
         h = jnp.pad(h, ((0, 0), (0, t_pad - t), (0, 0)))
+    bf = min(block_f, f)
+    f_pad = round_up(f, bf)
+    if f_pad != f:
+        x = jnp.pad(x, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
 
     # freq mix as one XLA einsum (reads x once); the kernel fuses the
     # h-multiply + both channel mixes + bias + ReLU (commuted form:
     # W @ ((h*x) @ Ka) == ((h * (W @ x)) @ Ka), since the freq mix is
     # linear in F and the rest is pointwise in F).
-    y = jnp.einsum("gf,bftc->bgtc", w_freq.astype(cd), x)
+    y = jnp.einsum("gf,bftc->bgtc", w_freq.astype(cd), x[:, :f, :, :])
+    if f_pad != f:
+        y = jnp.pad(y, ((0, 0), (0, f_pad - f), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         _kernel,
-        grid=(b, t_pad // block_t),
+        grid=(b, f_pad // bf, t_pad // block_t),
         in_specs=[
-            pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, bf, block_t, c), lambda i, j, k: (i, j, k, 0)),
+            pl.BlockSpec((1, bf, block_t, c), lambda i, j, k: (i, j, k, 0)),
+            pl.BlockSpec((1, block_t, c), lambda i, j, k: (i, k, 0)),
+            pl.BlockSpec((c, c), lambda i, j, k: (0, 0)),
+            pl.BlockSpec((c, c), lambda i, j, k: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j, k: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, f, block_t, c), lambda i, j: (i, 0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, f, t_pad, c), cd),
+        out_specs=pl.BlockSpec((1, bf, block_t, c),
+                               lambda i, j, k: (i, j, k, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f_pad, t_pad, c), cd),
         interpret=_INTERPRET,
     )(y, x, h.astype(cd), ka.astype(cd), kb.astype(cd), b2.reshape(1, -1))
-    return out[:, :, :t, :]
+    return out[:, :f, :t, :]
 
 
 def pallas_available() -> bool:

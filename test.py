@@ -48,9 +48,19 @@ def run(args):
     scale = (float(exp.hr_sr) / float(exp.lr_sr)
              if not exp.get("upsample", False) else 1.0)
     lr_sr = int(exp.hr_sr if exp.get("upsample", False) else exp.lr_sr)
+    # AOT-serialized eval executables (+aot=0 disables): repeat test.py
+    # invocations skip trace+compile per bucket shape (eval/aot.py)
+    aot_dir = None
+    if bool(args.get("aot", True)):
+        from aero_tpu.eval.aot import default_aot_dir
+
+        aot_dir = default_aot_dir()
     fwd = EvalForward(models["generator"], state, scale=scale, lr_sr=lr_sr,
                       bucket_s=float(args.get("eval_bucket_s", 1.0)),
-                      return_spec=exp.model == "aero")
+                      return_spec=exp.model == "aero",
+                      aot_dir=aot_dir,
+                      aot_tag=(f"{exp.name}|{args.get('precision', 'f32')}|"
+                               f"bucket={args.get('eval_bucket_s', 1.0)}"))
 
     from aero_tpu.eval.forward import make_spec_fns
 

@@ -24,7 +24,10 @@ def interpret_mode():
     ftb_ops._INTERPRET = old
 
 
-@pytest.mark.parametrize("f,c,t", [(32, 8, 50), (16, 24, 129)])
+@pytest.mark.parametrize("f,c,t", [(32, 8, 50), (16, 24, 129),
+                                   # F > block_f=64: exercises the r5
+                                   # F-grid incl. a ragged F pad (96->128)
+                                   (96, 8, 70)])
 def test_ftb_kernel_matches_composed(f, c, t):
     rng = np.random.default_rng(0)
     x = jnp.asarray(0.3 * rng.standard_normal((2, f, t, c)).astype(np.float32))

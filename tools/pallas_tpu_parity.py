@@ -154,12 +154,13 @@ def attn_backward_cases():
 
 
 def ftb_cases():
-    # enc1 shape (F=64, C=96) — where Mosaic compiles the kernel; enc0's
-    # (F=256, C=48) lane-merge reshape is a known Mosaic reject
-    # (PERF.md), reported here rather than asserted.
+    # both encoder shapes compile since the r5 F-grid (the old whole-F
+    # block at enc0 was the Mosaic reject); the kernel itself is a
+    # SETTLED PERF NEGATIVE (composed XLA tail is at its traffic
+    # roofline, PERF.md) — these cases keep the opt-in path honest.
     for label, f, c, t, expect_ok in (
             ("ftb enc1 F=64 C=96 T=2501", 64, 96, 2501, True),
-            ("ftb enc0 F=256 C=48 T=2501", 256, 48, 2501, False)):
+            ("ftb enc0 F=256 C=48 T=2501", 256, 48, 2501, True)):
         rng = np.random.default_rng(f)
         b = 4
         x = jnp.asarray(rng.standard_normal((b, f, t, c)), jnp.float32)
