@@ -916,8 +916,19 @@ class LocalState(nn.Module):
                 "AERO_ATTN_BAND=%d requested but attention site t=%d "
                 "nfreqs=%d runs EXACT (band needs t > 2*band and "
                 "nfreqs=0)", band, t, self.nfreqs)
-        use_pallas = (t > 2 * self.block_q and not self.nfreqs
-                      and fused_attn.pallas_available())
+        # Small-T dispatch (r5, SETTLED wash): at train geometry (T=501)
+        # the ISOLATED in-jit A/B (tools/attn_smallt_ab.py) has the
+        # Pallas custom-vjp fwd+bwd at 9.65/4.67 ms (enc2/enc3) vs
+        # 12.9/6.3 ms dense-autodiff — but the FULL fused train step
+        # measures identical either way (225.7-226.5 vs 225.9-226.4 ms,
+        # 3 interleaved rounds, tools/attn_dispatch_ab.py): XLA overlaps
+        # the dense attention backward with neighboring conv grads, so
+        # the isolated win never materializes end-to-end (same story as
+        # AERO_FLAT_OPT). Default stays dense at T <= 2*block_q;
+        # AERO_ATTN_SMALLT=pallas opts small T into the fused kernel.
+        small_t_pallas = os.environ.get("AERO_ATTN_SMALLT", "") == "pallas"
+        use_pallas = (not self.nfreqs and fused_attn.pallas_available()
+                      and (t > 2 * self.block_q or small_t_pallas))
         if use_banded:
             result = fused_attn.banded_local_attention(
                 queries, keys, content, decay_w, band)
