@@ -30,6 +30,39 @@ def test_local_state_blockwise_matches_dense():
                                atol=2e-5)
 
 
+def test_local_state_smallt_pallas_dispatch_matches_dense(monkeypatch):
+    """AERO_ATTN_SMALLT=pallas routes T <= 2*block_q through the fused
+    Pallas custom-vjp kernel (interpret mode here) — values AND grads
+    must match the default dense dispatch. Guards the r5 opt-in knob
+    (PERF.md 'Small-T attention dispatch — settled wash')."""
+    from aero_tpu.ops import attention as attn
+
+    c, heads, t = 8, 4, 300
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+
+    m = LocalState(c, heads=heads, block_q=256)  # t <= 2*block_q
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(vv, xx):
+        return jnp.sum(jnp.sin(m.apply(vv, xx)))
+
+    y_dense = m.apply(v, x)
+    g_dense = jax.grad(loss)(v, x)
+
+    monkeypatch.setattr(attn, "_INTERPRET", True)
+    monkeypatch.setenv("AERO_ATTN_SMALLT", "pallas")
+    y_pallas = m.apply(v, x)
+    g_pallas = jax.grad(loss)(v, x)
+
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_dense),
+                               atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4),
+        g_pallas, g_dense)
+
+
 def test_local_state_matches_torch():
     """Dense + analytic rank-1 decay vs the reference einsum formulation."""
     import sys
