@@ -61,9 +61,17 @@ def run_variant(name: str, epochs: int, out: str) -> dict:
         "precision=bfloat16", "seed=2036", "visqol=true",
     ] + spec["extra"]
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
-    r = subprocess.run(cmd, cwd=run_dir, text=True)
-    if r.returncode != 0:
-        print(f"{name} FAILED rc={r.returncode}")
+    # The tunnel flakes transiently (remote_compile RPC drops); train.py
+    # auto-resumes from checkpoint.atpu in the run dir, so a retry loses
+    # at most the in-flight epoch.
+    for attempt in range(3):
+        r = subprocess.run(cmd, cwd=run_dir, text=True)
+        if r.returncode == 0:
+            break
+        print(f"{name} attempt {attempt + 1} FAILED rc={r.returncode}"
+              + (", retrying (resumes from checkpoint)" if attempt < 2
+                 else ""), flush=True)
+    else:
         return {}
     hist_path = None
     for root, _dirs, files in os.walk(run_dir):
