@@ -331,31 +331,88 @@ class LossComputer:
 
 
 def make_train_step(args, models, mesh=None, donate=True):
-    """Build the jitted train step: (state, lr, hr) -> (state, metrics)."""
+    """Build the jitted train step: (state, lr, hr) -> (state, metrics).
+
+    ``accum_steps=K`` (root config, default 1) runs the batch as K
+    sequential microbatches inside one ``lax.scan``, averaging gradients
+    and mutable-collection updates, then applies ONE optimizer update —
+    the same effective batch with ~K× less live activation memory (the
+    HBM lever for big-waveform configs, e.g. 11→44 music whose
+    MPD/MSD-on-44.1kHz step does not fit a 16 GB chip at B=16).
+    Semantics match K-way data-parallel training, not the monolithic
+    step: losses/grads are exact means (equal microbatches), BatchNorm
+    batch_stats update with the mean of per-microbatch statistics, and
+    spectral-norm power iteration is exact (its update depends only on
+    params). Grad exactness vs accum=1 is pinned by
+    tests/test_train_step.py on a stateless model pair."""
     lc = LossComputer(args, models)
     gen = models["generator"]
     opt = make_optimizer(args)
+    accum = int(args.get("accum_steps", 1) or 1)
 
     def step(state: TrainState, lr_batch, hr_batch):
         rng, dropout_rng = jax.random.split(state.rng)
 
-        def gen_loss_fn(gen_params):
+        def gen_loss_fn(gen_params, lr_mb, hr_mb):
             variables = {"params": gen_params, **state.gen_state}
             mutable = list(state.gen_state.keys())
             if mutable:
-                pr, gen_upd = gen.apply(variables, lr_batch, train=True,
+                pr, gen_upd = gen.apply(variables, lr_mb, train=True,
                                         mutable=mutable)
                 gen_upd = dict(gen_upd)
             else:
-                pr = gen.apply(variables, lr_batch, train=True)
+                pr = gen.apply(variables, lr_mb, train=True)
                 gen_upd = {}
-            losses = lc.generator_losses(pr, hr_batch, state.disc_params,
+            losses = lc.generator_losses(pr, hr_mb, state.disc_params,
                                          state.disc_state, train=True)
             total = sum(losses.values())
             return total, (losses, gen_upd, pr)
 
-        (gen_total, (gen_losses, gen_upd, pr)), gen_grads = \
-            jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen_params)
+        def disc_loss_fn(dparams, pr_sg, hr_mb):
+            losses, new_dstate = lc.discriminator_losses(
+                pr_sg, hr_mb, dparams, state.disc_state, train=True)
+            return sum(losses.values()), (losses, new_dstate)
+
+        def one_microbatch(lr_mb, hr_mb):
+            """Returns the flat pytree of everything to average over
+            microbatches: (gen_total, gen_losses, gen_upd, gen_grads,
+            disc_losses, disc_state, disc_grads)."""
+            (gen_total, (gen_losses, gen_upd, pr)), gen_grads = \
+                jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                    state.gen_params, lr_mb, hr_mb)
+            disc_losses = {}
+            disc_state = state.disc_state
+            disc_grads = jax.tree.map(jnp.zeros_like, state.disc_params)
+            if lc.adversarial and state.disc_params:
+                pr_sg = jax.lax.stop_gradient(pr)
+                (_, (disc_losses, disc_state)), disc_grads = \
+                    jax.value_and_grad(disc_loss_fn, has_aux=True)(
+                        state.disc_params, pr_sg, hr_mb)
+            return (gen_total, gen_losses, gen_upd, gen_grads,
+                    disc_losses, disc_state, disc_grads)
+
+        if accum == 1:
+            (gen_total, gen_losses, gen_upd, gen_grads,
+             disc_losses, disc_state, disc_grads) = one_microbatch(
+                lr_batch, hr_batch)
+        else:
+            b = lr_batch.shape[0]
+            assert b % accum == 0, (
+                f"batch {b} not divisible by accum_steps={accum}")
+            lr_mb = lr_batch.reshape(accum, b // accum, *lr_batch.shape[1:])
+            hr_mb = hr_batch.reshape(accum, b // accum, *hr_batch.shape[1:])
+
+            acc0 = jax.eval_shape(one_microbatch, lr_mb[0], hr_mb[0])
+            acc0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), acc0)
+
+            def body(acc, xs):
+                out = one_microbatch(*xs)
+                return jax.tree.map(jnp.add, acc, out), None
+
+            acc, _ = jax.lax.scan(body, acc0, (lr_mb, hr_mb))
+            (gen_total, gen_losses, gen_upd, gen_grads,
+             disc_losses, disc_state, disc_grads) = jax.tree.map(
+                lambda x: x / accum, acc)
 
         gen_updates, gen_opt_state = opt.update(gen_grads, state.gen_opt_state,
                                                 state.gen_params)
@@ -363,18 +420,7 @@ def make_train_step(args, models, mesh=None, donate=True):
 
         disc_params = state.disc_params
         disc_opt_state = state.disc_opt_state
-        disc_state = state.disc_state
-        disc_losses = {}
         if lc.adversarial and state.disc_params:
-            pr_sg = jax.lax.stop_gradient(pr)
-
-            def disc_loss_fn(dparams):
-                losses, new_dstate = lc.discriminator_losses(
-                    pr_sg, hr_batch, dparams, state.disc_state, train=True)
-                return sum(losses.values()), (losses, new_dstate)
-
-            (_, (disc_losses, disc_state)), disc_grads = \
-                jax.value_and_grad(disc_loss_fn, has_aux=True)(state.disc_params)
             disc_updates, disc_opt_state = opt.update(
                 disc_grads, state.disc_opt_state, state.disc_params)
             disc_params = optax.apply_updates(state.disc_params, disc_updates)

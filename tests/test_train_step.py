@@ -126,6 +126,88 @@ def test_dp_matches_single_device(setup):
         np.testing.assert_allclose(x, y, atol=2 * 3e-4 + 1e-4)
 
 
+def tiny_seanet_args(accum=1):
+    seanet = dict(latent_space_size=16, ngf=4, n_residual_layers=1,
+                  resample=1, normalize=True, floor=1e-3,
+                  ratios=[8, 8, 2, 2], lr_sr=4000, hr_sr=16000,
+                  upsample=True)
+    return Config._wrap(dict(
+        lr=3e-4, beta2=0.999, losses=["l1", "stft"],
+        stft_sc_factor=0.5, stft_mag_factor=0.5, accum_steps=accum,
+        experiment=dict(
+            model="seanet", seanet=seanet,
+            lr_sr=4000, hr_sr=16000, segment=0.25, batch_size=8,
+            upsample=False, adversarial=True,
+            discriminator_models=["msd_melgan"],
+            features_loss_lambda=100,
+            only_features_loss=False, only_adversarial_loss=False,
+            melgan_discriminator=dict(n_layers=2, num_D=2,
+                                      downsampling_factor=4, ndf=4),
+        ),
+    ))
+
+
+def test_accum_steps_matches_monolithic():
+    """accum_steps=K (microbatch scan + grad averaging) must produce the
+    same update as the monolithic step on a stateless model pair
+    (Seanet+MelGAN — no BatchNorm; with BN the semantics are K-way-DP,
+    per-microbatch stats). The HBM lever for big-waveform configs
+    (11→44 music OOMs a 16 GB chip at B=16 without it)."""
+    args = tiny_seanet_args()
+    models = build.build_models(args)
+    lr_shape, hr_shape = build.segment_shapes(args)
+    variables = build.init_variables(args, models, jax.random.PRNGKey(0),
+                                     lr_shape, hr_shape)
+    state = init_state(args, models, variables, jax.random.PRNGKey(1))
+    assert not jax.tree.leaves(state.gen_state), \
+        "exactness claim needs a stateless generator (no batch_stats)"
+    lr, hr = _batch(lr_shape, hr_shape, seed=3)
+
+    step_mono = make_train_step(args, models, mesh=None, donate=False)
+    s1, m1 = step_mono(state, jnp.asarray(lr), jnp.asarray(hr))
+
+    step_accum = make_train_step(tiny_seanet_args(accum=4), models,
+                                 mesh=None, donate=False)
+    s2, m2 = step_accum(state, jnp.asarray(lr), jnp.asarray(hr))
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=2e-4)
+    for net in ("gen_params", "disc_params"):
+        for x, y in zip(jax.tree.leaves(jax.device_get(getattr(s1, net))),
+                        jax.tree.leaves(jax.device_get(getattr(s2, net)))):
+            # same Adam 1/sqrt(v) amplification bound as the DP test
+            np.testing.assert_allclose(x, y, atol=2 * 3e-4 + 1e-4)
+
+    # accum on the sharded path too: microbatches reshard cleanly
+    mesh = pmesh.make_mesh()
+    step_accum_dp = make_train_step(tiny_seanet_args(accum=4), models,
+                                    mesh, donate=False)
+    _, m3 = step_accum_dp(pmesh.replicate(state, mesh),
+                          pmesh.shard_batch(jnp.asarray(lr), mesh),
+                          pmesh.shard_batch(jnp.asarray(hr), mesh))
+    np.testing.assert_allclose(float(m3["total"]), float(m1["total"]),
+                               rtol=2e-4)
+
+
+def test_accum_steps_with_batch_stats_runs(setup):
+    """K-way-DP semantics with a BN generator (aero FTB): the accum step
+    must run, average batch_stats updates, and keep losses finite — the
+    exact combination the 11→44 music config trains with."""
+    args, models, mesh, state, lr_shape, hr_shape = setup
+    args2 = tiny_args()
+    args2["accum_steps"] = 2
+    step_fn = make_train_step(args2, models, mesh=None, donate=False)
+    lr, hr = _batch(lr_shape, hr_shape, seed=4)
+    host_state = jax.tree.map(jnp.asarray, jax.device_get(state))
+    new_state, metrics = step_fn(host_state, jnp.asarray(lr),
+                                 jnp.asarray(hr))
+    assert np.isfinite(float(metrics["total"]))
+    # batch_stats moved off the init values (BN updates were applied)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     host_state.gen_state, new_state.gen_state)
+    assert max(jax.tree.leaves(d)) > 0
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     args, models, mesh, state, lr_shape, hr_shape = setup
     from aero_tpu.utils.config import to_plain

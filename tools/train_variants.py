@@ -29,7 +29,12 @@ VARIANTS = {
         experiment="aero_8-24_512_64", lr_sr=8000, hr_sr=24000, extra=[]),
     "11-44": dict(
         experiment="aero_11-44_512_64", lr_sr=11025, hr_sr=44100,
-        extra=["experiment.discriminator_models=[mpd,msd_hifi]"]),
+        # B=16 at 44.1 kHz output with MPD+MSD needs 30.0 GB HBM on a
+        # 15.75 GB chip (measured r5 OOM); accum_steps=4 runs the same
+        # effective batch as 4 microbatches of 4 (~1/4 the live
+        # activations) — see train_step.make_train_step.
+        extra=["experiment.discriminator_models=[mpd,msd_hifi]",
+               "accum_steps=4"]),
 }
 
 
