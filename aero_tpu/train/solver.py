@@ -601,6 +601,27 @@ class Solver:
                 with trace(str(self.args.get("profile_dir", "profile"))):
                     self.state, metrics = self.train_step(self.state, lr, hr)
                     jax.block_until_ready(metrics)
+            elif i == 0:
+                # First call compiles; an HBM OOM here has a config-level
+                # fix (accum_steps) users should hear about, not just the
+                # raw XLA allocation dump.
+                try:
+                    self.state, metrics = self.train_step(self.state, lr, hr)
+                except Exception as e:
+                    if "Ran out of memory" in str(e) or \
+                            "RESOURCE_EXHAUSTED" in str(e):
+                        accum = int(self.args.get("accum_steps", 1) or 1)
+                        raise RuntimeError(
+                            f"train step does not fit device memory at "
+                            f"batch_size={self.args.experiment.batch_size}, "
+                            f"accum_steps={accum}. Raise accum_steps (root "
+                            f"config): it microbatches the fused step at "
+                            f"the SAME effective batch with ~K x less live "
+                            f"activation HBM (e.g. 11->44 music needs "
+                            f"accum_steps=4 on a 16 GB chip) — prefer it "
+                            f"over lowering batch_size, which changes "
+                            f"optimization dynamics.") from e
+                    raise
             else:
                 self.state, metrics = self.train_step(self.state, lr, hr)
             acc = metrics if acc is None else jax.tree.map(
