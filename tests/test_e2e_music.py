@@ -36,6 +36,10 @@ MUSIC = [
     "visqol=true",
     "num_workers=0",
     "eval_bucket_s=0.5",
+    # the real 11->44 config trains with gradient accumulation (B=16
+    # needs 30 GB HBM on a 16 GB chip); keep the accum CLI path covered
+    # on the music configuration it exists for
+    "accum_steps=2",
 ]
 
 
